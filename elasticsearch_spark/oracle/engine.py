@@ -1,0 +1,176 @@
+"""Pure-Python oracle engine — pytest ground truth.
+
+A compact reimplementation of the reference's observable semantics
+(build: ``selfindex_q_daat.py:58-125``; ranked TAAT query:
+``selfindex_q_taat.py:139-209``; boolean RPN query:
+``measure_latency_datastores.py:89-188``) used the way the reference used
+Elasticsearch: as the relevance ground truth the Spark engine must match
+rank-identically (scores to 1e-9, tie-break score desc then doc_id asc).
+
+Deliberately simple single-process Python over dicts; only ever run on
+pytest-scale corpora.  NOT the engine — see ``operators/`` for the Spark
+implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, FrozenSet, List, Sequence, Tuple
+
+from ..functions import scoring
+from ..functions.tokenizer import (
+    BOOLEAN_OPERATORS,
+    PRECEDENCE,
+    preprocess_boolean_query,
+    preprocess_query,
+    tokenize,
+)
+
+
+@dataclass
+class OracleIndex:
+    k1: float = scoring.K1_DEFAULT
+    b: float = scoring.B_DEFAULT
+    postings: Dict[str, List[Tuple[int, int]]] = field(default_factory=dict)  # term -> [(doc_id, tf)]
+    doc_len: Dict[int, int] = field(default_factory=dict)
+    doc_count: int = 0
+    avg_doc_len: float = 0.0
+    idf: Dict[str, float] = field(default_factory=dict)
+    all_docs: FrozenSet[int] = frozenset()
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(cls, docs: Sequence[Tuple[int, str]], k1: float = scoring.K1_DEFAULT,
+              b: float = scoring.B_DEFAULT, pretokenized: bool = False) -> "OracleIndex":
+        """docs: iterable of (doc_id, text).  If ``pretokenized`` the text
+        is split on whitespace without the preprocessing pipeline (used
+        for the driver's ``documents`` testdata table)."""
+        idx = cls(k1=k1, b=b)
+        total_len = 0
+        for doc_id, text in docs:
+            tokens = text.split() if pretokenized else tokenize(text)
+            idx.doc_len[doc_id] = len(tokens)
+            total_len += len(tokens)
+            for term, tf in Counter(tokens).items():
+                idx.postings.setdefault(term, []).append((doc_id, tf))
+        idx.doc_count = len(idx.doc_len)
+        idx.avg_doc_len = total_len / idx.doc_count if idx.doc_count else 0.0
+        for term, plist in idx.postings.items():
+            plist.sort()
+            idx.idf[term] = scoring.idf(idx.doc_count, len(plist))
+        idx.all_docs = frozenset(idx.doc_len)
+        return idx
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    # ------------------------------------------------------------- ranked
+    def score_all(self, query: str, method: str = "bm25",
+                  pretokenized_query: bool = False) -> Dict[int, float]:
+        """TAAT accumulation over all candidate docs (no truncation)."""
+        terms = (query.split() if pretokenized_query else preprocess_query(query))
+        doc_scores: Dict[int, float] = {}
+        for term in terms:  # accumulate in query-term order, like the reference
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf_value = self.idf.get(term, 0.0)
+            if idf_value == 0:
+                continue
+            for doc_id, tf in plist:
+                dl = self.doc_len[doc_id]
+                if dl <= 0:
+                    continue
+                if method == "bm25":
+                    s = scoring.bm25(tf, dl, self.avg_doc_len, idf_value, self.k1, self.b)
+                else:
+                    s = scoring.tfidf(tf, dl, idf_value)
+                doc_scores[doc_id] = doc_scores.get(doc_id, 0.0) + s
+        return doc_scores
+
+    def query(self, query: str, k: int = 10, method: str = "bm25",
+              pretokenized_query: bool = False) -> dict:
+        """Reference result shape: ``{query, total_hits, results:
+        [{doc_id, score}]}`` (``selfindex_q_taat.py:203-209``) with the
+        deterministic tie-break (score desc, doc_id asc)."""
+        doc_scores = self.score_all(query, method, pretokenized_query)
+        ranked = sorted(doc_scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return {
+            "query": query,
+            "total_hits": len(doc_scores),
+            "results": [{"doc_id": d, "score": s} for d, s in ranked],
+        }
+
+    # ------------------------------------------------------------ boolean
+    def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
+        rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))
+        return evaluate_rpn(self, rpn)
+
+
+def to_rpn(tokens: Tuple[str, ...]) -> Tuple[str, ...]:
+    """Implicit-AND insertion + shunting-yard
+    (``measure_latency_datastores.py:89-133``)."""
+    tokens_list = list(tokens)
+    infix: List[str] = []
+    for i, token in enumerate(tokens_list):
+        infix.append(token)
+        if i < len(tokens_list) - 1:
+            nxt = tokens_list[i + 1]
+            is_operand_or_close = (token not in BOOLEAN_OPERATORS and token != "(") or token == ")"
+            is_next_openable = (nxt not in BOOLEAN_OPERATORS and nxt != ")") or nxt == "(" or nxt == "NOT"
+            if is_operand_or_close and is_next_openable:
+                infix.append("AND")
+
+    out: List[str] = []
+    stack: List[str] = []
+    for token in infix:
+        if token not in BOOLEAN_OPERATORS and token not in ("(", ")"):
+            out.append(token)
+        elif token == "(":
+            stack.append(token)
+        elif token == ")":
+            while stack and stack[-1] != "(":
+                out.append(stack.pop())
+            if stack:
+                stack.pop()
+        else:
+            while stack and stack[-1] != "(" and PRECEDENCE.get(stack[-1], 0) >= PRECEDENCE[token]:
+                out.append(stack.pop())
+            stack.append(token)
+    while stack:
+        out.append(stack.pop())
+    return tuple(out)
+
+
+def evaluate_rpn(index: OracleIndex, rpn: Tuple[str, ...]) -> FrozenSet[int]:
+    """Stack evaluation with the reference's short-circuits
+    (``measure_latency_datastores.py:137-188``).
+
+    Guard beyond the reference (which crashes): an operator missing an
+    operand — possible when stopword filtering deletes one side, e.g.
+    ``"the AND dog"`` — treats the missing operand as the empty set.  The
+    Spark evaluator applies the identical rule.
+    """
+    stack: List[FrozenSet[int]] = []
+
+    def pop() -> FrozenSet[int]:
+        return stack.pop() if stack else frozenset()
+
+    for token in rpn:
+        if token == "AND":
+            b_set = pop()
+            a_set = pop()
+            stack.append(frozenset(a_set & b_set) if a_set and b_set else frozenset())
+        elif token == "OR":
+            b_set = pop()
+            a_set = pop()
+            stack.append(frozenset(a_set | b_set))
+        elif token == "NOT":
+            a_set = pop()
+            stack.append(frozenset(index.all_docs - a_set))
+        else:
+            plist = index.postings.get(token, ())
+            stack.append(frozenset(d for d, _ in plist))
+    return stack[0] if stack else frozenset()

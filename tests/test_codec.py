@@ -1,0 +1,78 @@
+"""Codec tests (FIXTURES.md §4; reference ``verify_compression.py``)."""
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import given, settings
+
+from elasticsearch_spark.functions.codec import (
+    bm25_impact,
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    vbyte_decode,
+    vbyte_encode,
+    zlib_decode,
+    zlib_delta_decode,
+    zlib_delta_encode,
+    zlib_encode,
+)
+
+EDGE_LISTS = [
+    [],
+    [0],
+    [0, 1, 2],
+    [2**31 - 1],
+    [127, 128, 16383, 16384],
+    list(range(100)),             # dense, gap=1
+    [0, 10**6, 2 * 10**6],        # sparse
+    [42],
+]
+
+
+def test_vbyte_zero_byte():
+    # reference: 0 encodes to the single byte 0x80
+    assert vbyte_encode([0]) == b"\x80"
+
+
+def test_edge_lists_roundtrip():
+    for lst in EDGE_LISTS:
+        assert vbyte_decode(vbyte_encode(lst)) == lst
+        assert delta_decode(delta_encode(lst)) == lst
+        assert zlib_delta_decode(zlib_delta_encode(lst)) == lst
+        if lst:
+            assert zlib_decode(zlib_encode(lst)) == lst
+
+
+def test_vbyte_boundaries():
+    # 127 -> 1 byte, 128 -> 2 bytes (7-bit groups, high bit terminates)
+    assert vbyte_encode([127]) == bytes([0x7F | 0x80])
+    assert vbyte_encode([128]) == bytes([0x01, 0x00 | 0x80])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=1000))
+def test_roundtrip_property(values):
+    sorted_vals = sorted(values)
+    assert vbyte_decode(vbyte_encode(values)) == values
+    # delta coding requires sorted input (posting lists are sorted)
+    assert delta_decode(delta_encode(sorted_vals)) == sorted_vals
+    # z1 and z2 must agree (verify_compression.py:82-105)
+    assert zlib_delta_decode(zlib_delta_encode(sorted_vals)) == delta_decode(
+        delta_encode(sorted_vals)
+    )
+
+
+def test_block_roundtrip_and_impact():
+    doc_ids = [3, 17, 18, 400, 100000]
+    tfs = [1, 5, 2, 1, 9]
+    lens = [30, 800, 55, 41, 120]
+    blobs = encode_block(doc_ids, tfs, lens)
+    d, t, ln = decode_block(*blobs)
+    assert d.tolist() == doc_ids and t.tolist() == tfs and ln.tolist() == lens
+
+    imp = bm25_impact(t, ln, avg_doc_len=100.0, k1=1.2, b=0.75)
+    # impact is score/idf: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    expect0 = 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 30 / 100))
+    assert abs(imp[0] - expect0) < 1e-12
+    assert imp.max() <= 1.2 + 1  # bounded by k1+1
