@@ -1,0 +1,415 @@
+"""Distributed inverted-index build (SURVEY.md §2.3, §3.3).
+
+Spark-first rework of the reference's single-process build
+(``/root/reference/selfindex_q_daat.py:58-125``): one wide shuffle
+(tokenize -> term-partitioned postings), then narrow writes.  All heavy
+lifting is DataFrame ops + the three pandas-UDF families; no driver-side
+loops over data.
+
+Index layout on disk (parquet; Iceberg-shaped layout, catalog-free —
+SURVEY.md §7 stage 3 fallback since no Iceberg jar ships offline):
+
+    <index_dir>/manifest.json                build lineage + per-segment checkpoints
+    <index_dir>/segments/<seg>/docs/         (doc_id, url, doc_len)
+    <index_dir>/segments/<seg>/postings/     bucket=*/ (term, doc_id, tf, doc_len)
+    <index_dir>/postings/                    bucket=*/ merged, sorted (term, doc_id)
+    <index_dir>/blocks/                      bucket=*/ compressed block-max runs
+    <index_dir>/dictionary/                  (term, df, idf, bucket)
+    <index_dir>/docs/                        (doc_id, url, doc_len)
+    <index_dir>/stats.json                   corpus stats + build metrics
+
+Scale design (10^12 docs, 1000 executors):
+* doc_id assignment: repartitionByRange on url + per-partition offsets —
+  a distributed zipWithIndex without any single-partition window.
+* postings build: ``posexplode`` -> partial-aggregated ``groupBy`` (map-
+  side combine), then ``repartition(bucket)`` + ``sortWithinPartitions``
+  so each term-hash bucket is a sorted posting run (the north-star's
+  term-partitioned build).  Head-term skew is bounded because tf
+  aggregation happens *before* the bucket shuffle (a term contributes
+  ≤ one row per doc), and AQE skew handling is on for the residual skew.
+* segments: the corpus is built in document segments, each a complete
+  checkpoint unit recorded in manifest.json — a killed build resumes by
+  skipping completed segments.  The final merge is a sorted merge of
+  segment posting runs (union preserves bucket partitioning; the sort
+  recreates run order), reference B14's upgrade.
+* compression: per-(term, doc-range) runs delta-gap + VByte encoded with
+  block-max metadata via applyInPandas (bounded memory per group).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+from ..functions.udfs import extract_tokenize_udf, term_bucket_col, tokenize_udf
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    n_buckets: int = 32            # term-hash partitions of the postings table
+    doc_range_bits: int = 16       # block runs aligned to doc_id >> bits
+    k1: float = 1.2
+    b: float = 0.75
+    lang: Optional[str] = "en"     # index only this language (None = all)
+    pretokenized: bool = False     # input has whitespace-token text, skip pipeline
+    use_html: bool = True          # tokenize extracted html (else the text column)
+    segment_docs: int = 0          # docs per segment; 0 = single segment
+    id_partitions: int = 0         # partitions for doc-id assignment (0 = default)
+
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("range_id", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("doc_blob", T.BinaryType()),
+        T.StructField("tf_blob", T.BinaryType()),
+        T.StructField("len_blob", T.BinaryType()),
+    ]
+)
+
+
+def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 0) -> DataFrame:
+    """Dense sequential doc_id by global ``order_col`` order, without a
+    single-partition window: range-partition on the key, count rows per
+    partition (tiny driver collect), broadcast the cumulative offsets,
+    then a *within-partition* row_number.
+
+    Deterministic: ids follow the total order of ``order_col`` no matter
+    where the sampled range boundaries fall.
+    """
+    spark = df.sparkSession
+    if num_partitions <= 0:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = (
+        ranged.join(offsets_df, "_pid")
+        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+class IndexBuilder:
+    """Builds the full index from the webtext input table."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig()):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.config = config
+        self.metrics: List[dict] = []
+
+    # ------------------------------------------------------------ helpers
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.index_dir, *parts)
+
+    def _manifest_path(self) -> str:
+        return self._path("manifest.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        return {"config": asdict(self.config), "segments": {}, "finalized": False}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path())
+
+    def _record(self, stage: str, seconds: float, docs: int = 0, postings: int = 0) -> dict:
+        entry = {
+            "stage": stage,
+            "seconds": round(seconds, 3),
+            "docs": docs,
+            "postings": postings,
+            "docs_per_sec": round(docs / seconds, 1) if seconds > 0 and docs else None,
+            "postings_per_sec": round(postings / seconds, 1) if seconds > 0 and postings else None,
+        }
+        self.metrics.append(entry)
+        return entry
+
+    # ------------------------------------------------------------- stages
+    def prepare_docs(self, raw: DataFrame) -> DataFrame:
+        """Input table -> (doc_id, url, doc_len, tokens).
+
+        Filters language, extracts+tokenizes via the pandas UDF, assigns
+        deterministic doc ids by url order.
+        """
+        cfg = self.config
+        df = raw
+        if cfg.lang is not None and "lang" in df.columns:
+            df = df.filter(F.col("lang") == cfg.lang)
+        if cfg.pretokenized:
+            # whitespace split identical to python str.split(): no empty tokens
+            tokens = F.when(
+                F.length(F.trim(F.col("text"))) > 0,
+                F.split(F.trim(F.col("text")), r"\s+"),
+            ).otherwise(F.array().cast("array<string>"))
+        elif cfg.use_html and "html" in df.columns:
+            tokens = extract_tokenize_udf(F.col("html"))
+        else:
+            tokens = tokenize_udf(F.col("text"))
+
+        if "doc_id" in df.columns:
+            # caller-provided stable ids (e.g. driver testdata)
+            df = df.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("url") if "url" in df.columns else F.col("doc_id")).cast("string").alias("url"),
+                tokens.alias("tokens"),
+            )
+        else:
+            df = df.select(F.col("url").cast("string").alias("url"), tokens.alias("tokens"))
+            df = assign_doc_ids(df, "url", self.config.id_partitions)
+        return df.select("doc_id", "url", F.size("tokens").alias("doc_len"), "tokens")
+
+    def build_segment(self, seg_name: str, docs: DataFrame) -> dict:
+        """One checkpointed segment: docs table + bucket-partitioned
+        postings run.  Returns segment stats for the manifest."""
+        cfg = self.config
+        t0 = time.time()
+        docs_path = self._path("segments", seg_name, "docs")
+        docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(docs_path)
+        docs_written = self.spark.read.parquet(docs_path)
+        n_docs = docs_written.count()
+        sum_len = docs_written.agg(F.sum("doc_len")).collect()[0][0] or 0
+        t1 = time.time()
+        self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
+
+        # Wide shuffle: explode -> per-(term,doc) tf with map-side combine.
+        exploded = docs.select(
+            "doc_id", "doc_len", F.explode("tokens").alias("term")
+        )
+        postings = (
+            exploded.groupBy("term", "doc_id", "doc_len")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
+        )
+        post_path = self._path("segments", seg_name, "postings")
+        (
+            postings.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(post_path)
+        )
+        n_postings = self.spark.read.parquet(post_path).count()
+        t2 = time.time()
+        self._record(f"{seg_name}/postings", t2 - t1, docs=n_docs, postings=n_postings)
+        return {
+            "n_docs": n_docs,
+            "sum_doc_len": int(sum_len),
+            "n_postings": n_postings,
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "seconds": round(t2 - t0, 3),
+        }
+
+    def finalize(self, manifest: dict) -> dict:
+        """Merge segment runs into the final index: postings (sorted
+        merge), dictionary (+idf), docs, compressed block-max runs,
+        corpus stats."""
+        cfg = self.config
+        seg_names = sorted(manifest["segments"])
+        t0 = time.time()
+
+        seg_postings = [
+            self.spark.read.parquet(self._path("segments", s, "postings")) for s in seg_names
+        ]
+        merged = seg_postings[0]
+        for p in seg_postings[1:]:
+            merged = merged.unionByName(p)
+        # Sorted merge of segment runs: bucket partitioning is preserved
+        # by the union; one sort per bucket restores (term, doc_id) run
+        # order for the final table.
+        post_path = self._path("postings")
+        (
+            merged.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(post_path)
+        )
+        postings = self.spark.read.parquet(post_path)
+        t1 = time.time()
+
+        n_docs = sum(m["n_docs"] for m in manifest["segments"].values())
+        sum_len = sum(m["sum_doc_len"] for m in manifest["segments"].values())
+        avg_doc_len = (sum_len / n_docs) if n_docs else 0.0
+
+        # Dictionary: df per term + the reference idf ln((N+1)/(df+1)).
+        dictionary = (
+            postings.groupBy("term", "bucket")
+            .agg(F.count("*").cast("long").alias("df"))
+            .withColumn(
+                "idf",
+                F.when(F.col("df") > 0, F.log((F.lit(n_docs) + 1) / (F.col("df") + 1))).otherwise(F.lit(0.0)),
+            )
+        )
+        dict_path = self._path("dictionary")
+        (
+            dictionary.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dict_path)
+        )
+        n_terms = self.spark.read.parquet(dict_path).count()
+        t2 = time.time()
+
+        # Docs table (merged).
+        seg_docs = [self.spark.read.parquet(self._path("segments", s, "docs")) for s in seg_names]
+        docs_all = seg_docs[0]
+        for d in seg_docs[1:]:
+            docs_all = docs_all.unionByName(d)
+        docs_path = self._path("docs")
+        docs_all.write.mode("overwrite").parquet(docs_path)
+        t3 = time.time()
+
+        # Compressed block-max runs per (term, doc-range).
+        n_postings = self._write_blocks(postings, avg_doc_len)
+        t4 = time.time()
+
+        self._record("finalize/merge_postings", t1 - t0, postings=n_postings)
+        self._record("finalize/dictionary", t2 - t1)
+        self._record("finalize/docs", t3 - t2, docs=n_docs)
+        self._record("finalize/blocks", t4 - t3, postings=n_postings)
+
+        stats = {
+            "doc_count": n_docs,
+            "avg_doc_len": avg_doc_len,
+            "n_terms": n_terms,
+            "n_postings": n_postings,
+            "config": asdict(cfg),
+            "build_metrics": self.metrics,
+        }
+        with open(self._path("stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        return stats
+
+    def _write_blocks(self, postings: DataFrame, avg_doc_len: float) -> int:
+        """Delta-gap + VByte compressed posting runs with block-max
+        metadata, one run per (term, doc-range); bounded group memory via
+        doc-range alignment (SURVEY.md §2.3 B8-B11)."""
+        cfg = self.config
+        k1, b = cfg.k1, cfg.b
+        range_bits = cfg.doc_range_bits
+
+        out_schema = T.StructType(
+            list(BLOCK_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+        )
+        out_cols = [f.name for f in out_schema.fields]
+
+        def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            pdf = pdf.sort_values("doc_id")
+            out = []
+            for (term, range_id), grp in pdf.groupby(["term", "range_id"], sort=False):
+                doc_ids = grp["doc_id"].to_numpy()
+                tfs = grp["tf"].to_numpy()
+                lens = grp["doc_len"].to_numpy()
+                doc_blob, tf_blob, len_blob = codec.encode_block(
+                    doc_ids.tolist(), tfs.tolist(), lens.tolist()
+                )
+                imp = codec.bm25_impact(tfs, lens, avg_doc_len, k1, b)
+                out.append(
+                    (
+                        term,
+                        int(range_id),
+                        len(doc_ids),
+                        int(doc_ids[0]),
+                        int(doc_ids[-1]),
+                        float(imp.max()),
+                        doc_blob,
+                        tf_blob,
+                        len_blob,
+                        bucket,
+                    )
+                )
+            return pd.DataFrame(out, columns=out_cols)
+
+        blocks = (
+            postings.withColumn("range_id", F.shiftright(F.col("doc_id"), range_bits))
+            .groupBy("bucket", "range_id")
+            .applyInPandas(encode_group, schema=out_schema)
+        )
+        blocks_path = self._path("blocks")
+        (
+            blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+        )
+        written = self.spark.read.parquet(blocks_path)
+        return written.agg(F.sum("n")).collect()[0][0] or 0
+
+    # --------------------------------------------------------------- main
+    def build(self, raw: DataFrame, max_segments: Optional[int] = None) -> dict:
+        """Full build with segment checkpoints.  ``max_segments`` limits
+        how many segments are (re)built this invocation — used to test
+        resume-after-kill; completed segments are always skipped."""
+        cfg = self.config
+        manifest = self._load_manifest()
+        t_start = time.time()
+
+        docs = self.prepare_docs(raw)
+        if cfg.segment_docs and cfg.segment_docs > 0:
+            # Segment by doc_id range: deterministic, resumable.
+            n_total = docs.agg(F.max("doc_id")).collect()[0][0]
+            n_total = (n_total + 1) if n_total is not None else 0
+            n_segments = max(1, math.ceil(n_total / cfg.segment_docs))
+            docs = docs.persist()
+        else:
+            n_segments = 1
+            docs = docs.persist()
+
+        built = 0
+        for i in range(n_segments):
+            seg_name = f"seg_{i:05d}"
+            if manifest["segments"].get(seg_name):
+                continue  # checkpoint: already complete
+            if max_segments is not None and built >= max_segments:
+                break
+            if cfg.segment_docs and n_segments > 1:
+                lo, hi = i * cfg.segment_docs, (i + 1) * cfg.segment_docs
+                seg_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            else:
+                seg_docs = docs
+            manifest["segments"][seg_name] = self.build_segment(seg_name, seg_docs)
+            self._save_manifest(manifest)
+            built += 1
+
+        all_done = len(manifest["segments"]) == n_segments
+        if all_done and not manifest.get("finalized"):
+            stats = self.finalize(manifest)
+            manifest["finalized"] = True
+            manifest["stats"] = {k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")}
+            manifest["total_seconds"] = round(time.time() - t_start, 3)
+            self._save_manifest(manifest)
+        docs.unpersist()
+        return manifest

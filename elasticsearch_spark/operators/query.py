@@ -1,0 +1,209 @@
+"""Query engine: ranked BM25/TF-IDF retrieval + boolean set queries
+(SURVEY.md §2.4, §2.5, §3.1-3.2).
+
+Query lifecycle (no shuffle on the ranked fast path):
+
+  query string -> driver-side tokenizer (same module as the build UDF)
+  -> driver computes the term buckets (crc32 twin of the build's bucket
+  expression) -> partition-pruned scan of the postings table, with the
+  ``term IN (...)`` predicate pushed into parquet row-group stats
+  -> per-row BM25/TF-IDF column expression (idf injected as a literal
+  term->idf MAP, i.e. the broadcast term-dictionary slice)
+  -> groupBy(doc_id) partial-agg sum
+  -> TakeOrderedAndProject (per-partition bounded heap, driver merge) via
+  ``orderBy(score desc, doc_id).limit(k)`` — physically exactly the
+  reference's heap top-k (R5) distributed.
+
+Boolean queries compose DataFrame set ops from the RPN plan: AND = inner
+join on doc_id, OR = union+distinct, NOT = anti join against the doc
+dictionary (Q1-Q6).  The formulas live textually in
+``functions/scoring.py``; this module builds the identical Column
+expressions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scoring import B_DEFAULT, K1_DEFAULT
+from ..functions.tokenizer import (
+    is_boolean_query,
+    preprocess_boolean_query,
+    preprocess_query,
+)
+from ..functions.udfs import term_bucket
+from ..oracle.engine import to_rpn
+
+
+class QueryEngine:
+    """Answers queries against an index built by ``IndexBuilder``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        cfg = self.stats["config"]
+        self.n_buckets = cfg["n_buckets"]
+        self.k1 = cfg.get("k1", K1_DEFAULT)
+        self.b = cfg.get("b", B_DEFAULT)
+        self.pretokenized = cfg.get("pretokenized", False)
+        self.doc_count = self.stats["doc_count"]
+        self.avg_doc_len = self.stats["avg_doc_len"]
+        self._postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._docs = self.spark.read.parquet(os.path.join(index_dir, "docs"))
+        self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
+
+    # ---------------------------------------------------------------- util
+    def _terms(self, query: str) -> List[str]:
+        if self.pretokenized:
+            return query.split()
+        return preprocess_query(query)
+
+    def _pruned_postings(self, terms: Sequence[str]) -> DataFrame:
+        """Bucket partition pruning + term predicate pushdown."""
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return self._postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        )
+
+    def term_idf(self, terms: Sequence[str]) -> Dict[str, float]:
+        """Driver-side slice of the broadcast dictionary: term -> idf."""
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (
+            self._dictionary.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+            )
+            .select("term", "idf")
+            .collect()
+        )
+        return {r["term"]: r["idf"] for r in rows}
+
+    # -------------------------------------------------------------- ranked
+    def score_plan(self, query: str, method: str = "bm25") -> Optional[DataFrame]:
+        """The full scoring DataFrame (doc_id, score) for a free-text
+        query — no top-k truncation.  None if no query term is indexed."""
+        terms = self._terms(query)
+        idf_map = self.term_idf(terms)
+        # reference semantics: skip missing terms and idf==0 terms
+        terms = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
+        if not terms:
+            return None
+        idf_items: list = []
+        for t in sorted(set(terms)):
+            idf_items += [F.lit(t), F.lit(float(idf_map[t]))]
+        idf_col = F.create_map(*idf_items)[F.col("term")]
+
+        # duplicated query terms accumulate once per occurrence, exactly
+        # like the reference's per-term TAAT loop
+        from collections import Counter
+
+        mult_items: list = []
+        for t, c in Counter(terms).items():
+            mult_items += [F.lit(t), F.lit(float(c))]
+        mult_col = F.create_map(*mult_items)[F.col("term")]
+
+        p = self._pruned_postings(sorted(set(terms)))
+        k1, b = self.k1, self.b
+        if method == "bm25":
+            score = idf_col * (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len)))
+                )
+            )
+        elif method == "tfidf":
+            score = (F.col("tf") / F.col("doc_len")) * idf_col
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        score = score * mult_col
+        scored = p.filter(F.col("doc_len") > 0).withColumn("score", score)
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def ranked(self, query: str, k: int = 10, method: str = "bm25",
+               with_total_hits: bool = True) -> dict:
+        """Reference result shape ``{query, total_hits, results:[{doc_id,
+        score}]}`` with the deterministic (score desc, doc_id asc)
+        tie-break."""
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return {"query": query, "total_hits": 0, "results": []}
+        plan = plan.persist()
+        try:
+            top = (
+                plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = plan.count() if with_total_hits else None
+        finally:
+            plan.unpersist()
+        return {
+            "query": query,
+            "total_hits": total,
+            "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
+        }
+
+    def topk_df(self, query: str, k: int = 10, method: str = "bm25") -> DataFrame:
+        """Top-k as a DataFrame (for the driver correctness harness)."""
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return self._docs.select(
+                F.col("doc_id"), F.lit(0.0).alias("score")
+            ).limit(0)
+        return plan.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ------------------------------------------------------------- boolean
+    def boolean_plan(self, query: str) -> DataFrame:
+        """RPN -> DataFrame set-algebra plan over doc_ids (Q1-Q4)."""
+        rpn = to_rpn(
+            preprocess_boolean_query(query, stem_tokens=not self.pretokenized)
+        )
+        all_docs = self._docs.select("doc_id")
+        empty = all_docs.limit(0)
+        stack: List[DataFrame] = []
+
+        def pop() -> DataFrame:
+            return stack.pop() if stack else empty
+
+        for token in rpn:
+            if token == "AND":
+                b_df, a_df = pop(), pop()
+                stack.append(a_df.join(b_df, "doc_id", "inner").select("doc_id"))
+            elif token == "OR":
+                b_df, a_df = pop(), pop()
+                stack.append(a_df.unionByName(b_df).distinct())
+            elif token == "NOT":
+                a_df = pop()
+                stack.append(all_docs.join(a_df, "doc_id", "left_anti").select("doc_id"))
+            else:
+                stack.append(
+                    self._pruned_postings([token]).select("doc_id").distinct()
+                )
+        return stack[0] if stack else empty
+
+    def boolean(self, query: str) -> List[int]:
+        return sorted(r["doc_id"] for r in self.boolean_plan(query).collect())
+
+    # -------------------------------------------------------------- router
+    def query(self, query: str, k: int = 10, method: str = "bm25") -> dict:
+        """Dispatch boolean vs ranked exactly like the reference
+        (``selfindex_i0_no_optimization.py:126-132``): boolean results
+        carry score 1.0, unranked, truncated to k."""
+        if is_boolean_query(query):
+            docs = self.boolean(query)
+            return {
+                "query": query,
+                "total_hits": len(docs),
+                "results": [{"doc_id": d, "score": 1.0} for d in docs[:k]],
+            }
+        return self.ranked(query, k, method)

@@ -1,0 +1,173 @@
+"""End-to-end Spark engine vs pure-Python oracle (SURVEY.md §5.2).
+
+Builds the index over the synthetic webtext corpus with the Spark engine
+and requires rank-identical top-k with scores equal to 1e-9 against the
+oracle, for ranked (BM25 + TF-IDF) and boolean queries; plus doc-id
+determinism and the segment-checkpoint resume property.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig, assign_doc_ids
+from elasticsearch_spark.operators.query import QueryEngine
+from elasticsearch_spark.oracle.engine import OracleIndex
+from elasticsearch_spark.sources.webtext import corpus_rows, gen_corpus
+
+N_DOCS = 400
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+RANKED_QUERIES = [
+    "ba",  # likely head term (short, may be filtered by len<2 -> empty)
+    "machine learning",
+    "sparkhead",  # the skew head token
+    "zo ta ne",
+    "running studies dying",
+    "nonexistentterm",
+    "AT&T cannot",
+]
+
+BOOLEAN_QUERIES = [
+    "sparkhead AND visit",
+    "visit OR mail",
+    "visit NOT mail",
+    "(visit OR mail) AND sparkhead",
+    "NOT sparkhead",
+    "visit mail",  # implicit AND
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(corpus_rows(N_DOCS), INPUT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def oracle_index():
+    docs = [
+        (i, d["text"])
+        for i, d in enumerate(
+            sorted(
+                (d for d in gen_corpus(N_DOCS) if d["lang"] == "en"),
+                key=lambda d: d["url"],
+            )
+        )
+    ]
+    return OracleIndex.build(docs)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_index_root):
+    d = os.path.join(tmp_index_root, "webtext_e2e")
+    builder = IndexBuilder(spark, d, IndexConfig(n_buckets=8, doc_range_bits=6))
+    manifest = builder.build(corpus)
+    assert manifest["finalized"]
+    return d
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return QueryEngine(spark, index_dir)
+
+
+def test_doc_id_assignment_matches_url_order(spark, corpus):
+    df = assign_doc_ids(corpus.select("url"), "url", num_partitions=4)
+    got = [r["url"] for r in df.orderBy("doc_id").collect()]
+    expected = sorted(r["url"] for r in corpus.select("url").collect())
+    assert got == expected
+    ids = [r["doc_id"] for r in df.orderBy("doc_id").collect()]
+    assert ids == list(range(len(expected)))
+
+
+def test_corpus_stats_match(engine, oracle_index):
+    assert engine.doc_count == oracle_index.doc_count
+    assert abs(engine.avg_doc_len - oracle_index.avg_doc_len) < 1e-9
+    assert engine.stats["n_terms"] == len(oracle_index.postings)
+    assert engine.stats["n_postings"] == sum(
+        len(p) for p in oracle_index.postings.values()
+    )
+
+
+def test_idf_parity(engine, oracle_index):
+    some_terms = list(oracle_index.idf)[:50]
+    got = engine.term_idf(some_terms)
+    for t in some_terms:
+        assert abs(got[t] - oracle_index.idf[t]) < 1e-12, t
+
+
+@pytest.mark.parametrize("query", RANKED_QUERIES)
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+def test_ranked_rank_identity(engine, oracle_index, query, method):
+    got = engine.ranked(query, k=10, method=method)
+    want = oracle_index.query(query, k=10, method=method)
+    assert got["total_hits"] == want["total_hits"], query
+    got_ids = [r["doc_id"] for r in got["results"]]
+    want_ids = [r["doc_id"] for r in want["results"]]
+    assert got_ids == want_ids, f"{query}: {got_ids} != {want_ids}"
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+@pytest.mark.parametrize("query", BOOLEAN_QUERIES)
+def test_boolean_parity(engine, oracle_index, query):
+    assert engine.boolean(query) == sorted(oracle_index.boolean_query(query))
+
+
+def test_router_dispatch(engine, oracle_index):
+    res = engine.query("visit AND mail")
+    assert all(r["score"] == 1.0 for r in res["results"])
+    res2 = engine.query("machine learning")
+    want = oracle_index.query("machine learning")
+    assert [r["doc_id"] for r in res2["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+
+
+def test_segmented_build_resume_identical(spark, corpus, tmp_index_root, engine):
+    """Kill-and-resume: build 2 of 4 segments, 'crash', resume; the final
+    index must be identical to the one-shot build."""
+    d = os.path.join(tmp_index_root, "webtext_seg")
+    cfg = IndexConfig(n_buckets=8, doc_range_bits=6, segment_docs=100)
+    b1 = IndexBuilder(spark, d, cfg)
+    m1 = b1.build(corpus, max_segments=2)
+    assert not m1.get("finalized")
+    assert len(m1["segments"]) == 2
+
+    b2 = IndexBuilder(spark, d, cfg)  # fresh builder = restarted process
+    m2 = b2.build(corpus)
+    assert m2["finalized"]
+    assert len(m2["segments"]) == 4
+
+    seg_engine = QueryEngine(spark, d)
+    full = engine.ranked("machine learning", k=10)
+    seg = seg_engine.ranked("machine learning", k=10)
+    assert [r["doc_id"] for r in full["results"]] == [r["doc_id"] for r in seg["results"]]
+    assert seg_engine.stats["n_postings"] == engine.stats["n_postings"]
+    assert seg_engine.stats["n_terms"] == engine.stats["n_terms"]
+
+
+def test_blocks_roundtrip(spark, index_dir, oracle_index):
+    """Compressed block-max runs decode back to the exact postings."""
+    from elasticsearch_spark.functions.codec import decode_block
+
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks")).collect()
+    got = {}
+    for r in blocks:
+        d, t, ln = decode_block(r["doc_blob"], r["tf_blob"], r["len_blob"])
+        assert r["n"] == len(d) and r["first_doc"] == d[0] and r["last_doc"] == d[-1]
+        got.setdefault(r["term"], []).extend(zip(d.tolist(), t.tolist()))
+    assert len(got) == len(oracle_index.postings)
+    for term, plist in oracle_index.postings.items():
+        assert sorted(got[term]) == plist, term
