@@ -165,31 +165,16 @@ class QueryEngine:
     # ------------------------------------------------------------- boolean
     def boolean_plan(self, query: str) -> DataFrame:
         """RPN -> DataFrame set-algebra plan over doc_ids (Q1-Q4)."""
+        from .boolean import evaluate_rpn_df
+
         rpn = to_rpn(
             preprocess_boolean_query(query, stem_tokens=not self.pretokenized)
         )
-        all_docs = self._docs.select("doc_id")
-        empty = all_docs.limit(0)
-        stack: List[DataFrame] = []
-
-        def pop() -> DataFrame:
-            return stack.pop() if stack else empty
-
-        for token in rpn:
-            if token == "AND":
-                b_df, a_df = pop(), pop()
-                stack.append(a_df.join(b_df, "doc_id", "inner").select("doc_id"))
-            elif token == "OR":
-                b_df, a_df = pop(), pop()
-                stack.append(a_df.unionByName(b_df).distinct())
-            elif token == "NOT":
-                a_df = pop()
-                stack.append(all_docs.join(a_df, "doc_id", "left_anti").select("doc_id"))
-            else:
-                stack.append(
-                    self._pruned_postings([token]).select("doc_id").distinct()
-                )
-        return stack[0] if stack else empty
+        return evaluate_rpn_df(
+            rpn,
+            lambda t: self._pruned_postings([t]).select("doc_id").distinct(),
+            self._docs.select("doc_id"),
+        )
 
     def boolean(self, query: str) -> List[int]:
         return sorted(r["doc_id"] for r in self.boolean_plan(query).collect())

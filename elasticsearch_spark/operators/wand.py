@@ -1,0 +1,177 @@
+"""Block-max WAND top-k over the compressed block index (SURVEY.md §4;
+reference skip-pointer optimization ``selfindex_i1_skip_pointers.py``
+upgraded to score-aware skipping).
+
+Three small jobs, no wide shuffle, provably the same top-k as exhaustive
+scoring:
+
+  phase 0  metadata-only aggregation: per doc-range upper bound
+           UB(range) = Σ_t weight_t · max_impact_t,range  (weight =
+           idf · query-term multiplicity).  Runs entirely on block
+           metadata columns — the blobs are never read (parquet column
+           pruning).
+  phase 1  exact scoring kernel on the single highest-UB range ->
+           initial threshold θ0 = k-th best score there.
+  phase 2  kernel on every range with UB ≥ θ0 (ranges below θ0 cannot
+           place a doc in the top-k: UB is a per-doc upper bound), then
+           global (score desc, doc_id asc) limit k.
+
+The kernel (applyInPandas per doc-range) decodes the delta-VByte runs
+and accumulates scores into a dense numpy array over the 2^range_bits
+doc slots — vectorized, no per-row Python.  Lossless: pruning uses
+UB ≥ θ0 (not >), so boundary ties survive to the exact final sort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+from ..functions.tokenizer import preprocess_query
+from ..functions.udfs import term_bucket
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _make_kernel(weights: Dict[str, float], avg_doc_len: float, k1: float, b: float,
+                 range_bits: int, k: int):
+    """Build the per-range scoring kernel closure (pickled to executors)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+        base = int(pdf["range_id"].iloc[0]) << range_bits
+        arr = np.zeros(1 << range_bits, dtype=np.float64)
+        # fixed term order => deterministic accumulation order
+        pdf = pdf.sort_values("term")
+        for row in pdf.itertuples(index=False):
+            w = weights.get(row.term)
+            if not w:
+                continue
+            doc_ids, tfs, lens = codec.decode_block(
+                row.doc_blob, row.tf_blob, row.len_blob
+            )
+            ok = lens > 0
+            imp = codec.bm25_impact(tfs[ok], lens[ok], avg_doc_len, k1, b)
+            np.add.at(arr, doc_ids[ok] - base, w * imp)
+        nz = np.nonzero(arr)[0]
+        if nz.size > k:
+            # local top-k with (score desc, doc_id asc): lexsort is
+            # stable, secondary key = -score, primary (minor) = index
+            order = np.lexsort((nz, -arr[nz]))[:k]
+            nz = nz[order]
+        return pd.DataFrame({"doc_id": (nz + base).astype(np.int64), "score": arr[nz]})
+
+    return kernel
+
+
+class WandEngine:
+    """Top-k ranked retrieval over the ``blocks`` table."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        cfg = self.stats["config"]
+        self.n_buckets = cfg["n_buckets"]
+        self.range_bits = cfg["doc_range_bits"]
+        self.k1 = cfg.get("k1", 1.2)
+        self.b = cfg.get("b", 0.75)
+        self.pretokenized = cfg.get("pretokenized", False)
+        self.avg_doc_len = self.stats["avg_doc_len"]
+        self._blocks = self.spark.read.parquet(os.path.join(index_dir, "blocks"))
+        self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
+
+    def _terms(self, query: str) -> List[str]:
+        return query.split() if self.pretokenized else preprocess_query(query)
+
+    def _weights(self, query: str) -> Dict[str, float]:
+        """term -> idf * multiplicity (0-idf terms dropped, like the
+        reference)."""
+        terms = self._terms(query)
+        counts = Counter(terms)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in counts})
+        rows = (
+            self._dictionary.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(counts))
+            )
+            .select("term", "idf")
+            .collect()
+        )
+        return {
+            r["term"]: r["idf"] * counts[r["term"]] for r in rows if r["idf"] != 0.0
+        }
+
+    def topk_df(self, query: str, k: int = 10) -> DataFrame:
+        weights = self._weights(query)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not weights:
+            return empty
+        terms = sorted(weights)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        blocks = self._blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+        # phase 0: metadata-only per-range upper bounds
+        w_items: list = []
+        for t in terms:
+            w_items += [F.lit(t), F.lit(float(weights[t]))]
+        w_col = F.create_map(*w_items)[F.col("term")]
+        range_ub = (
+            blocks.select("range_id", (w_col * F.col("max_impact")).alias("ub"))
+            .groupBy("range_id")
+            .agg(F.sum("ub").alias("ub"))
+        )
+        best = range_ub.orderBy(F.col("ub").desc()).limit(1).collect()
+        if not best:
+            return empty
+
+        kernel = _make_kernel(
+            weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k
+        )
+
+        # phase 1: exact threshold from the best range
+        best_rid = best[0]["range_id"]
+        seed = (
+            blocks.filter(F.col("range_id") == best_rid)
+            .groupBy("range_id")
+            .applyInPandas(lambda pdf: kernel(pdf), schema=RESULT_SCHEMA)
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        theta0 = seed[-1]["score"] if len(seed) >= k else 0.0
+
+        # phase 2: kernel on surviving ranges only
+        survivors = range_ub.filter(F.col("ub") >= theta0).select("range_id")
+        cand = blocks.join(F.broadcast(survivors), "range_id")
+        scored = cand.groupBy("range_id").applyInPandas(
+            lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
+        )
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+    def topk(self, query: str, k: int = 10) -> dict:
+        rows = self.topk_df(query, k).collect()
+        return {
+            "query": query,
+            "total_hits": None,  # WAND prunes; exact count needs the TAAT plan
+            "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+        }

@@ -1,0 +1,769 @@
+"""Driver-gate query registry: Spark plans + DuckDB oracle SQL.
+
+Each entry pairs a PySpark DataFrame plan with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables (``/root/testdata/sf*/``) — the
+driver compares row counts, schemas, and order-insensitive value hashes.
+Float columns are rounded to 6 decimals ON BOTH SIDES and orderings use
+the rounded value + id tie-break, so cross-engine last-ulp differences
+cannot flip row sets.
+
+The ``documents`` table is pretokenized (single-space lowercase words),
+so these queries use whitespace tokenization; the full preprocessing
+pipeline (Porter, stopwords, HTML) is exercised by the pytest oracle
+suite instead (DuckDB cannot express a Porter stemmer).
+
+Coverage map to SURVEY.md §2: corpus/doc stats (B1,B5), dictionary+idf
+(B4,B6), x=3 TF-IDF postings (B7), word frequency + Zipf (A1-A3),
+postings (B2), BM25/TF-IDF ranked top-k incl. parameter variants
+(R1-R5,R7), boolean AND/OR/NOT/complex (Q1-Q6), the engine-backed path
+(full build §3.3 + query §3.1), segment-merge dictionary (B14), plus the
+training-data-pipeline operators: exact/minhash/simhash/ngram-jaccard
+dedup, embedding cosine top-k, language-ID, quality scoring, token
+counting, fingerprinting, and the events rollup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+K1, B = 1.2, 0.75
+Q1_TERMS = ["spark", "dup", "merge"]
+Q2_TERMS = ["hash", "join", "window", "order", "dup"]
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str, lang: str | None = "en") -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if lang:
+        df = df.filter(F.col("lang") == lang)
+    return df
+
+
+def _tok(spark: SparkSession, sf_dir: str, lang: str | None = "en") -> DataFrame:
+    return _docs(spark, sf_dir, lang).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+
+
+def _dl(spark, sf_dir) -> DataFrame:
+    return _tok(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("doc_len")
+    )
+
+
+def _corpus(spark, sf_dir) -> DataFrame:
+    return _dl(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("doc_len").cast("double").alias("avgdl"),
+    )
+
+
+_TOK_CTE = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl)
+"""
+
+
+def _scored_df(spark, sf_dir, terms, k1=K1, b=B, method="bm25") -> DataFrame:
+    """(doc_id, score) for a bag of query terms — the R7 SQL plan shape
+    as DataFrame ops, idf computed in-plan."""
+    tok = _tok(spark, sf_dir)
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    corpus = _corpus(spark, sf_dir)
+    idf = df_.crossJoin(corpus).select(
+        "term",
+        F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double")).alias("idf"),
+        "n",
+        "avgdl",
+    )
+    j = (
+        tf.join(idf, "term")
+        .join(_dl(spark, sf_dir), "doc_id")
+        .filter(F.col("idf") != 0)
+    )
+    if method == "bm25":
+        score = F.col("idf") * (
+            (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * (F.col("doc_len") / F.col("avgdl"))))
+        )
+    else:
+        score = F.col("idf") * (F.col("tf").cast("double") / F.col("doc_len"))
+    return j.withColumn("s", score).groupBy("doc_id").agg(F.sum("s").alias("score"))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def _sql_terms(terms) -> str:
+    return ",".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(terms, k1=K1, b=B, k=10, method="bm25") -> str:
+    if method == "bm25":
+        expr = (
+            f"idf.idf * ((tf.tf * ({k1} + 1)) / "
+            f"(tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / corpus.avgdl))))"
+        )
+    else:
+        expr = "idf.idf * (tf.tf::DOUBLE / dl.doc_len)"
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id, sum({expr}) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
+
+
+# ----------------------------------------------------- corpus statistics
+
+@register(
+    "corpus_stats",
+    f"""WITH {_TOK_CTE}
+SELECT n AS doc_count, round(avgdl, 6) AS avg_doc_len_r,
+       (SELECT count(*) FROM tok)::BIGINT AS total_tokens
+FROM corpus""",
+)
+def corpus_stats(spark, sf_dir):
+    tok_cnt = _tok(spark, sf_dir).count()
+    return _corpus(spark, sf_dir).select(
+        F.col("n").alias("doc_count"),
+        F.round("avgdl", 6).alias("avg_doc_len_r"),
+        F.lit(tok_cnt).cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "doc_stats",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id, count(*)::BIGINT AS doc_len,
+       count(DISTINCT term)::BIGINT AS unique_terms
+FROM tok GROUP BY doc_id""",
+)
+def doc_stats(spark, sf_dir):
+    return _tok(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("doc_len"),
+        F.countDistinct("term").cast("long").alias("unique_terms"),
+    )
+
+
+@register(
+    "dictionary",
+    f"""WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+       round(ln((corpus.n + 1)::DOUBLE / (count(DISTINCT doc_id) + 1)::DOUBLE), 6) AS idf_r
+FROM tok, corpus GROUP BY term, corpus.n""",
+)
+def dictionary(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    return (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(corpus)
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double")), 6
+            ).alias("idf_r"),
+        )
+    )
+
+
+@register(
+    "wordfreq_top20",
+    f"""WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term
+ORDER BY cnt DESC, term LIMIT 20""",
+)
+def wordfreq_top20(spark, sf_dir):
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "zipf_rank",
+    f"""WITH {_TOK_CTE},
+freq AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term)
+SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rnk FROM freq""",
+)
+def zipf_rank(spark, sf_dir):
+    freq = _tok(spark, sf_dir).groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return freq.select("term", "cnt", F.row_number().over(w).cast("long").alias("rnk"))
+
+
+@register(
+    "vocab_stats",
+    f"""WITH {_TOK_CTE}
+SELECT count(DISTINCT term)::BIGINT AS unique_terms,
+       count(*)::BIGINT AS total_tokens,
+       round(sum(length(term))::DOUBLE / count(*), 6) AS avg_token_len_r
+FROM tok""",
+)
+def vocab_stats(spark, sf_dir):
+    return _tok(spark, sf_dir).agg(
+        F.countDistinct("term").cast("long").alias("unique_terms"),
+        F.count("*").cast("long").alias("total_tokens"),
+        F.round(F.sum(F.length("term")).cast("double") / F.count("*"), 6).alias(
+            "avg_token_len_r"
+        ),
+    )
+
+
+# ------------------------------------------------------------ postings
+
+@register(
+    "postings_sample",
+    f"""WITH {_TOK_CTE}
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id""",
+)
+def postings_sample(spark, sf_dir):
+    return (
+        _tok(spark, sf_dir)
+        .filter(F.col("term").isin(Q1_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+@register(
+    "tfidf_postings_x3",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.doc_id,
+       round((tf.tf::DOUBLE / dl.doc_len) * ln(corpus.n::DOUBLE / df.df), 6) AS score_r
+FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, corpus""",
+)
+def tfidf_postings_x3(spark, sf_dir):
+    """The x=3 precomputed-TF-IDF posting variant, idf = ln(N/df)
+    (reference ``plot_c_info_type.py:68-76``)."""
+    tok = _tok(spark, sf_dir)
+    tf = (
+        tok.filter(F.col("term").isin(Q1_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return (
+        tf.join(df_, "term")
+        .join(_dl(spark, sf_dir), "doc_id")
+        .crossJoin(_corpus(spark, sf_dir))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("score_r"),
+        )
+    )
+
+
+# -------------------------------------------------------------- ranked
+
+@register("bm25_topk_q1", _bm25_sql(Q1_TERMS, k=10))
+def bm25_topk_q1(spark, sf_dir):
+    return _topk(_scored_df(spark, sf_dir, Q1_TERMS), 10)
+
+
+@register("bm25_topk_q2", _bm25_sql(Q2_TERMS, k=20))
+def bm25_topk_q2(spark, sf_dir):
+    return _topk(_scored_df(spark, sf_dir, Q2_TERMS), 20)
+
+
+@register("bm25_topk_params", _bm25_sql(Q1_TERMS, k1=2.0, b=0.5, k=10))
+def bm25_topk_params(spark, sf_dir):
+    """Parameter-sensitivity variant (reference Plot D k1=2.0 / b=0.5)."""
+    return _topk(_scored_df(spark, sf_dir, Q1_TERMS, k1=2.0, b=0.5), 10)
+
+
+@register("tfidf_topk", _bm25_sql(Q1_TERMS, k=10, method="tfidf"))
+def tfidf_topk(spark, sf_dir):
+    return _topk(_scored_df(spark, sf_dir, Q1_TERMS, method="tfidf"), 10)
+
+
+@register(
+    "bm25_total_hits_q1",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus)
+SELECT count(DISTINCT tf.doc_id)::BIGINT AS total_hits
+FROM tf JOIN idf ON tf.term = idf.term WHERE idf.idf <> 0""",
+)
+def bm25_total_hits_q1(spark, sf_dir):
+    return _scored_df(spark, sf_dir, Q1_TERMS).agg(
+        F.count("*").cast("long").alias("total_hits")
+    )
+
+
+# -------------------------------------------------------------- boolean
+
+def _term_docs_sql(term: str) -> str:
+    return f"SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'"
+
+
+@register(
+    "boolean_and",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id FROM (({_term_docs_sql('spark')}) INTERSECT ({_term_docs_sql('dup')}))
+ORDER BY doc_id""",
+)
+def boolean_and(spark, sf_dir):
+    return _boolean(spark, sf_dir, "spark AND dup")
+
+
+@register(
+    "boolean_or",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id FROM (({_term_docs_sql('dup')}) UNION ({_term_docs_sql('query')}))
+ORDER BY doc_id""",
+)
+def boolean_or(spark, sf_dir):
+    return _boolean(spark, sf_dir, "dup OR query")
+
+
+@register(
+    "boolean_not",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id FROM (({_term_docs_sql('spark')}) EXCEPT ({_term_docs_sql('dup')}))
+ORDER BY doc_id""",
+)
+def boolean_not(spark, sf_dir):
+    return _boolean(spark, sf_dir, "spark NOT dup")
+
+
+@register(
+    "boolean_complex",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id FROM (
+  ((({_term_docs_sql('spark')}) UNION ({_term_docs_sql('dup')}))
+   INTERSECT ({_term_docs_sql('merge')}))
+  EXCEPT ({_term_docs_sql('window')}))
+ORDER BY doc_id""",
+)
+def boolean_complex(spark, sf_dir):
+    return _boolean(spark, sf_dir, "(spark OR dup) AND merge NOT window")
+
+
+def _boolean(spark, sf_dir, query: str) -> DataFrame:
+    from ..functions.tokenizer import preprocess_boolean_query
+    from ..operators.boolean import evaluate_rpn_df
+    from ..oracle.engine import to_rpn
+
+    tok = _tok(spark, sf_dir)
+    rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=False))
+    out = evaluate_rpn_df(
+        rpn,
+        lambda t: tok.filter(F.col("term") == t).select("doc_id").distinct(),
+        _docs(spark, sf_dir).select("doc_id"),
+    )
+    return out.orderBy("doc_id")
+
+
+# ------------------------------------------------- engine-backed queries
+
+_ENGINE_CACHE: Dict[str, object] = {}
+
+
+def _engine(spark, sf_dir):
+    """Build (once) a real on-disk index over the documents table and
+    return a QueryEngine — exercises the full build+query pipeline."""
+    from ..operators.build import IndexBuilder, IndexConfig
+    from ..operators.query import QueryEngine
+
+    cfg = IndexConfig(
+        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True, use_html=False
+    )
+    key = os.path.abspath(sf_dir) + repr(cfg)
+    if key not in _ENGINE_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "es_spark_entry_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        )
+        builder = IndexBuilder(spark, idx_dir, cfg)
+        builder.build(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+        _ENGINE_CACHE[key] = QueryEngine(spark, idx_dir)
+    return _ENGINE_CACHE[key]
+
+
+@register("engine_bm25_topk", _bm25_sql(Q1_TERMS, k=10))
+def engine_bm25_topk(spark, sf_dir):
+    """Same oracle as bm25_topk_q1, but served from the real index
+    (build -> postings/dictionary tables -> pruned scan -> top-k)."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.score_plan(" ".join(Q1_TERMS))
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_boolean_complex",
+    ORACLE_SQL["boolean_complex"],
+)
+def engine_boolean_complex(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.boolean_plan("(spark OR dup) AND merge NOT window").orderBy("doc_id")
+
+
+@register(
+    "merge_dictionary",
+    f"""WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term""",
+)
+def merge_dictionary(spark, sf_dir):
+    """Incremental-index semantics (B14): dictionary built from two
+    doc-range segments then merged must equal the full rebuild."""
+    tok = _tok(spark, sf_dir)
+    seg_a = tok.filter(F.col("doc_id") < 250).groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    seg_b = tok.filter(F.col("doc_id") >= 250).groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    return seg_a.unionByName(seg_b).groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+
+
+# ------------------------------------------- training-data pipeline ops
+
+@register(
+    "dedup_exact",
+    """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+FROM documents""",
+)
+def dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir, lang=None)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return d.select("doc_id", F.min("doc_id").over(w).alias("canon_id"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents WHERE lang = 'en'),
+ix AS (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS shingle
+       FROM ix WHERE i <= len(L) - 2),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT a, b, round(c::DOUBLE / (ca.n + cb.n - c), 6) AS jaccard_r
+FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.5""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("L"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("L") - 3),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("L"), i + 1, 3)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b_ = sh.alias("b")
+    inter = (
+        a.join(
+            b_,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(ca, "a")
+        .join(cb, "b")
+        .filter(jac >= 0.5)
+        .select("a", "b", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+@register(
+    "minhash_band_pairs",
+    """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       FROM documents WHERE lang = 'en'),
+sig AS (SELECT doc_id, s.i, min(md5(s.i::VARCHAR || ':' || term)) AS h
+        FROM t, generate_series(0, 7) s(i) GROUP BY doc_id, s.i),
+bands AS (SELECT doc_id, i // 2 AS band, min(h) || max(h) AS bh
+          FROM sig GROUP BY doc_id, i // 2)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+)
+def minhash_band_pairs(spark, sf_dir):
+    """MinHash (8 perms via md5(seed:term) string-min) + LSH banding
+    (4 bands x 2 rows) candidate pairs."""
+    t = _tok(spark, sf_dir).distinct()
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("i"))
+    sig = (
+        t.crossJoin(seeds)
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term"))).alias("mh"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("mh").alias("h"))
+    )
+    bands = sig.groupBy(
+        "doc_id", F.floor(F.col("i") / 2).cast("long").alias("band")
+    ).agg(F.concat(F.min("h"), F.max("h")).alias("bh"))
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+@register(
+    "simhash_signature",
+    """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents WHERE lang = 'en') GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, s.bit,
+                sum(tf * (2 * ((h >> s.bit) & 1) - 1)) AS contrib
+         FROM th, generate_series(0, 59) s(bit) GROUP BY doc_id, s.bit)
+SELECT doc_id,
+       sum(CASE WHEN contrib > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id""",
+)
+def simhash_signature(spark, sf_dir):
+    """60-bit tf-weighted SimHash from md5-derived term hashes."""
+    tf = _tok(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    th = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits_df = spark.range(60).select(F.col("id").cast("int").alias("bit"))
+    bits = (
+        th.crossJoin(bits_df)
+        .select(
+            "doc_id",
+            "bit",
+            (F.col("tf") * (2 * F.expr("(h >> bit) & 1") - 1)).alias("contrib"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("contrib"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("contrib") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@register(
+    "embed_cosine_topk",
+    """WITH ex AS (SELECT vec_id, embedding AS emb, generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+vals AS (SELECT vec_id, i, emb[i]::DOUBLE AS v FROM ex),
+tv AS (SELECT i, v AS tvv FROM vals WHERE vec_id = 0),
+dots AS (SELECT vals.vec_id, sum(vals.v * tv.tvv) AS dot, sum(vals.v * vals.v) AS na
+         FROM vals JOIN tv ON vals.i = tv.i GROUP BY vals.vec_id),
+nb AS (SELECT sum(tvv * tvv) AS nb FROM tv)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+FROM dots, nb WHERE vec_id <> 0
+ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id LIMIT 10""",
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (ANN baseline)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vals = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    tv = vals.filter(F.col("vec_id") == 0).select(
+        F.col("i").alias("ti"), F.col("v").alias("tvv")
+    )
+    dots = (
+        vals.join(tv, vals["i"] == tv["ti"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("tvv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("na"),
+        )
+    )
+    nb = tv.agg(F.sum(F.col("tvv") * F.col("tvv")).alias("nb"))
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        dots.crossJoin(nb)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("cos_r"))
+        .orderBy(F.col("cos_r").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "langid_heuristic",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT doc_id,
+       round(sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS en_ratio_r,
+       CASE WHEN sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END)::DOUBLE / count(*) >= 0.02
+            THEN 'en' ELSE 'unk' END AS pred
+FROM tok GROUP BY doc_id""",
+)
+def langid_heuristic(spark, sf_dir):
+    """n-gram/stopword-ratio language ID (marker tokens 'a'/'the')."""
+    tok = _tok(spark, sf_dir, lang=None)
+    ratio = F.sum(
+        F.when(F.col("term").isin("a", "the"), 1).otherwise(0)
+    ).cast("double") / F.count("*")
+    return tok.groupBy("doc_id").agg(
+        F.round(ratio, 6).alias("en_ratio_r"),
+        F.when(ratio >= 0.02, "en").otherwise("unk").alias("pred"),
+    )
+
+
+@register(
+    "text_quality",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_unique,
+       round(count(DISTINCT term)::DOUBLE / count(*), 6) AS ttr_r,
+       round(sum(length(term))::DOUBLE / count(*), 6) AS avg_token_len_r,
+       (count(*) BETWEEN 20 AND 1000
+        AND count(DISTINCT term)::DOUBLE / count(*) > 0.05) AS quality_ok
+FROM tok GROUP BY doc_id""",
+)
+def text_quality(spark, sf_dir):
+    tok = _tok(spark, sf_dir, lang=None)
+    n = F.count("*")
+    nu = F.countDistinct("term")
+    return tok.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        nu.cast("long").alias("n_unique"),
+        F.round(nu.cast("double") / n, 6).alias("ttr_r"),
+        F.round(F.sum(F.length("term")).cast("double") / n, 6).alias("avg_token_len_r"),
+        (n.between(20, 1000) & (nu.cast("double") / n > 0.05)).alias("quality_ok"),
+    )
+
+
+@register(
+    "token_count",
+    r"""SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens
+FROM documents""",
+)
+def token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = _docs(spark, sf_dir, lang=None)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       GROUP BY doc_id, term)
+SELECT doc_id,
+       (sum((('0x' || substr(md5(term), 1, 8))::BIGINT % 1000003) * tf) % 1000003)::BIGINT AS fp
+FROM tf GROUP BY doc_id""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-independent content fingerprint from md5-derived token
+    hashes (rolling-hash analogue that is portable across engines)."""
+    tf = _tok(spark, sf_dir, lang=None).groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    return tf.groupBy("doc_id").agg(
+        (F.sum((h % 1000003) * F.col("tf")) % 1000003).cast("long").alias("fp")
+    )
+
+
+@register(
+    "events_hourly",
+    """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+)
+def events_hourly(spark, sf_dir):
+    """Windowed rollup on the events stream table (batch shape of the
+    streaming hourly aggregation)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value_r"),
+    )
