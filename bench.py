@@ -1,0 +1,206 @@
+"""Benchmark harness (driver-run per round; see BENCH/BASELINE.md).
+
+Measures, at ``local[$SPARK_GRAFT_CPUS]`` over ``$SPARK_GRAFT_SF_DIR``:
+
+1. index-build throughput (docs/sec, postings/sec) over the synthetic
+   webtext corpus (deterministic, generated once and cached);
+2. query latency (p50/p95/p99) over the reference's 100-query set
+   (``fixtures/queryset.json``) against the built index, routed exactly
+   like the reference (boolean vs ranked);
+3. the headline documents-table queries from the driver gate.
+
+Prints ONE JSON line: ``{"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", ...extras}``.
+
+Protocol mirrors the reference harness: 3x10 warmup queries before
+measurement (``plot_ab_compression.py:47-52``), percentiles via numpy
+(``measure_latency_datastores.py:268-277``).  Set
+``SPARK_GRAFT_SCALING=1`` to also run the local[8]-vs-local[32] scaling
+efficiency protocol (writes BENCH/scaling.json); the per-round default
+skips it for time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "bm25_topk_q1",
+    "bm25_topk_q2",
+    "tfidf_topk",
+    "boolean_complex",
+    "dictionary",
+    "doc_stats",
+    "dedup_ngram_jaccard",
+    "minhash_band_pairs",
+    "simhash_signature",
+    "embed_cosine_topk",
+    "langid_heuristic",
+    "doc_fingerprint",
+    "events_hourly",
+]
+
+
+def ensure_corpus(n_docs: int) -> str:
+    from elasticsearch_spark.sources.webtext import write_parquet
+
+    path = f"/tmp/es_spark_bench_corpus_{n_docs}.parquet"
+    if not os.path.exists(path):
+        t0 = time.time()
+        write_parquet(path, n_docs)
+        print(f"# corpus gen {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def build_and_query(spark, corpus_path: str, tag: str) -> dict:
+    """Timed index build + 100-query latency; returns metrics dict."""
+    from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+    from elasticsearch_spark.operators.query import QueryEngine
+    from elasticsearch_spark.operators.wand import WandEngine
+
+    idx_dir = f"/tmp/es_spark_bench_idx_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    raw = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
+    builder = IndexBuilder(
+        spark, idx_dir, IndexConfig(n_buckets=32, doc_range_bits=11)
+    )
+    manifest = builder.build(raw)
+    build_s = time.time() - t0
+    n_docs = manifest["stats"]["doc_count"]
+    n_postings = manifest["stats"]["n_postings"]
+
+    with open(os.path.join(REPO, "fixtures", "queryset.json")) as f:
+        queries = json.load(f)["queries"]
+
+    engine = QueryEngine(spark, idx_dir)
+    wand = WandEngine(spark, idx_dir)
+
+    # reference warmup protocol: 3 rounds x 10 queries
+    for _ in range(3):
+        for q in queries[:10]:
+            engine.query(q, k=10) if _is_boolean(q) else engine.ranked(
+                q, k=10, with_total_hits=False
+            )
+
+    lat = []
+    for q in queries:
+        t = time.time()
+        if _is_boolean(q):
+            engine.boolean(q)
+        else:
+            engine.ranked(q, k=10, with_total_hits=False)
+        lat.append(time.time() - t)
+    lat_ms = np.array(lat) * 1000
+
+    # WAND path sample (10 ranked queries)
+    wand_lat = []
+    all_ranked = [q for q in queries if not _is_boolean(q)]
+    for q in all_ranked[:10]:
+        t = time.time()
+        wand.topk(q, k=10)
+        wand_lat.append(time.time() - t)
+    wand_ms = np.array(wand_lat) * 1000
+
+    # batch path: all ranked queries in one job (the throughput shape)
+    t = time.time()
+    engine.batch_ranked(all_ranked, k=10)
+    batch_s = time.time() - t
+
+    return {
+        "build_seconds": round(build_s, 2),
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "postings_per_sec": round(n_postings / build_s, 1),
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "query_ms": {
+            "p50": round(float(np.percentile(lat_ms, 50)), 1),
+            "p95": round(float(np.percentile(lat_ms, 95)), 1),
+            "p99": round(float(np.percentile(lat_ms, 99)), 1),
+            "mean": round(float(lat_ms.mean()), 1),
+        },
+        "wand_ms_p50": round(float(np.percentile(wand_ms, 50)), 1),
+        "qps_sequential": round(len(queries) / (lat_ms.sum() / 1000), 1),
+        "qps_batch": round(len(all_ranked) / batch_s, 1),
+    }
+
+
+def _is_boolean(q: str) -> bool:
+    from elasticsearch_spark.functions.tokenizer import is_boolean_query
+
+    return is_boolean_query(q)
+
+
+def main():
+    from elasticsearch_spark.plans import entry_queries as eq
+    from elasticsearch_spark.session import get_spark
+
+    t_all = time.time()
+    corpus_path = ensure_corpus(BENCH_DOCS)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    core = build_and_query(spark, corpus_path, f"c{CPUS}")
+
+    per_query = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        eq.QUERIES[name](spark, SF_DIR).collect()
+        per_query[name] = round(time.time() - t0, 3)
+
+    extras = {}
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        extras["scaling"] = run_scaling(corpus_path)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "webtext_index_build+query+headline_total",
+        "value": round(time.time() - t_all, 2),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "build": core,
+        "bench_docs": BENCH_DOCS,
+        "cpus": CPUS,
+    }
+    out.update(extras)
+    print(json.dumps(out))
+
+
+def run_scaling(corpus_path: str) -> dict:
+    """Two-parallelism-level protocol: the same build at local[8] (N)
+    and local[32] (4N); efficiency = (T8/T32)/4."""
+    from elasticsearch_spark.session import get_spark
+
+    results = {}
+    for cpus in (8, 32):
+        spark = get_spark(
+            f"bench-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        )
+        results[str(cpus)] = build_and_query(spark, corpus_path, f"s{cpus}")
+        spark.stop()
+    t8 = results["8"]["build_seconds"]
+    t32 = results["32"]["build_seconds"]
+    results["efficiency"] = round((t8 / t32) / 4, 3)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return {"efficiency": results["efficiency"], "t8": t8, "t32": t32}
+
+
+if __name__ == "__main__":
+    main()

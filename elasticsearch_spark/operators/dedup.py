@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All DataFrame-native (JVM xxhash64, no Python in the hot path), designed
+for the 10^12-doc regime:
+
+* exact:    content-hash groupBy — one shuffle on a 64-bit key.
+* minhash:  k permutations via xxhash64(seed, token), LSH banding; only
+            band-bucket groups shuffle, candidate verification computes
+            exact Jaccard on the (tiny) candidate set.
+* simhash:  tf-weighted 64-bit signature; near-pairs via the 4x16-bit
+            band trick + Hamming verification (bit_count).
+* ngram:    shingle-based exact Jaccard — the brute-force baseline used
+            to validate the sketch paths on small corpora.
+
+The entry-gate twins of these (md5-based, DuckDB-checkable) live in
+``plans/entry_queries.py``; these versions trade portability for speed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(id, content_hash, canon_id, is_dup): canonical = min id per
+    identical content."""
+    h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .withColumn("canon_id", F.min("id").over(w))
+        .withColumn("is_dup", F.col("id") != F.col("canon_id"))
+    )
+
+
+def _token_set(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(F.col(tokens_col))).alias("token")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, tokens_col: str,
+                       n_hashes: int = 32) -> DataFrame:
+    """(id, perm, minhash) — k permutations as min over xxhash64(perm,
+    token)."""
+    spark = df.sparkSession
+    toks = _token_set(df, id_col, tokens_col)
+    perms = F.broadcast(spark.range(n_hashes).select(F.col("id").cast("int").alias("perm")))
+    return (
+        toks.crossJoin(perms)
+        .select("id", "perm", F.xxhash64(F.col("perm"), F.col("token")).alias("h"))
+        .groupBy("id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
+                      n_hashes: int = 32, bands: int = 8,
+                      verify_threshold: Optional[float] = None) -> DataFrame:
+    """LSH candidate pairs (a, b); with ``verify_threshold`` also
+    computes exact Jaccard on candidates and filters (a, b, jaccard)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, tokens_col, n_hashes)
+    band_sig = sig.groupBy(
+        "id", (F.col("perm") / rows_per_band).cast("int").alias("band")
+    ).agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("perm", "minhash")))).alias("bh"))
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs
+    return verify_jaccard(pairs, df, id_col, tokens_col).filter(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def verify_jaccard(pairs: DataFrame, df: DataFrame, id_col: str,
+                   tokens_col: str) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs: (a, b, jaccard)."""
+    toks = _token_set(df, id_col, tokens_col)
+    cnt = toks.groupBy("id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("id").alias("a"), "token")
+    tb = toks.select(F.col("id").alias("b"), "token")
+    inter = (
+        pairs.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b").agg(
+            F.count("*").alias("c")
+        )
+    )
+    na = cnt.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"c": 0})
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens") -> DataFrame:
+    """(id, simhash) — tf-weighted 64-bit SimHash from xxhash64 term
+    hashes; one explode + two aggregations."""
+    spark = df.sparkSession
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bits = F.broadcast(spark.range(64).select(F.col("id").cast("int").alias("bit")))
+    return (
+        tf.crossJoin(bits)
+        .select(
+            "id",
+            "bit",
+            (F.col("tf") * (2 * F.expr("(h >> bit) & 1") - 1)).alias("contrib"),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("contrib").alias("contrib"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("contrib") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
+                       max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) via the 4x16-bit band pigeonhole:
+    any pair within Hamming distance 3 shares at least one of the four
+    16-bit quarters exactly."""
+    sig = simhash64(df, id_col, tokens_col)
+    quarters = [
+        sig.select(
+            "id", "simhash", F.lit(q).alias("q"),
+            F.expr(f"(simhash >> {16 * q}) & 65535").alias("qk"),
+        )
+        for q in range(4)
+    ]
+    banded = quarters[0]
+    for qdf in quarters[1:]:
+        banded = banded.unionByName(qdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qk") == F.col("b.qk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_shingles(df: DataFrame, id_col: str, tokens_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct n-gram shingles of the token sequence."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i + 1, n)),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold (brute-force baseline)."""
+    sh = ngram_shingles(df, id_col, tokens_col, n)
+    cnt = sh.groupBy("id").agg(F.count("*").alias("cnt"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = cnt.select(F.col("id").alias("a"), F.col("cnt").alias("na"))
+    nb = cnt.select(F.col("id").alias("b"), F.col("cnt").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(na, "a").join(nb, "b").filter(jac >= threshold)
+        .select("a", "b", jac.alias("jaccard"))
+    )

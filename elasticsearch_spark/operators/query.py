@@ -179,6 +179,72 @@ class QueryEngine:
     def boolean(self, query: str) -> List[int]:
         return sorted(r["doc_id"] for r in self.boolean_plan(query).collect())
 
+    # --------------------------------------------------------------- batch
+    def batch_ranked(self, queries: Sequence[str], k: int = 10,
+                     method: str = "bm25") -> Dict[str, list]:
+        """Score MANY free-text queries in one Spark job — the query-
+        throughput path.  Driver tokenizes all queries, broadcasts one
+        (query_id, term, weight=idf*multiplicity) table, joins it to the
+        pruned postings scan, aggregates per (query, doc), and takes
+        top-k per query with a window.  Shuffle volume is bounded by
+        candidate postings, independent of query count.
+
+        Returns {query: [{doc_id, score}, ...]} (ranked, reference
+        tie-break).  Queries with no indexed terms map to [].
+        """
+        from collections import Counter
+
+        per_query_terms = {q: Counter(self._terms(q)) for q in queries}
+        all_terms = sorted({t for c in per_query_terms.values() for t in c})
+        idf_map = self.term_idf(all_terms)
+
+        weight_rows = []
+        for qid, q in enumerate(queries):
+            for t, mult in per_query_terms[q].items():
+                idf_v = idf_map.get(t, 0.0)
+                if idf_v != 0.0:
+                    weight_rows.append((qid, t, float(idf_v), float(mult)))
+        out: Dict[str, list] = {q: [] for q in queries}
+        if not weight_rows:
+            return out
+
+        weights = F.broadcast(
+            self.spark.createDataFrame(
+                weight_rows, "qid int, term string, idf double, mult double"
+            )
+        )
+        live_terms = sorted({r[1] for r in weight_rows})
+        p = self._pruned_postings(live_terms).filter(F.col("doc_len") > 0)
+        k1, b = self.k1, self.b
+        if method == "bm25":
+            base_score = F.col("idf") * (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len)))
+                )
+            )
+        else:
+            base_score = (F.col("tf") / F.col("doc_len")) * F.col("idf")
+        scored = (
+            p.join(weights, "term")
+            .withColumn("s", base_score * F.col("mult"))
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("s").alias("score"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+        top = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .orderBy("qid", "rn")
+            .collect()
+        )
+        for r in top:
+            out[queries[r["qid"]]].append({"doc_id": r["doc_id"], "score": r["score"]})
+        return out
+
     # -------------------------------------------------------------- router
     def query(self, query: str, k: int = 10, method: str = "bm25") -> dict:
         """Dispatch boolean vs ranked exactly like the reference

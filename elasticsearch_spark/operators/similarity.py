@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk``       — brute-force scan against one query vector:
+  array-native dot product (``zip_with`` + ``aggregate``, whole-stage
+  codegen, no explode, no shuffle except the final TakeOrdered).
+* ``knn_join``          — brute-force k-NN for every vector (quadratic;
+  validation baseline).
+* ``lsh_knn_join``      — the scale path: random-hyperplane LSH buckets
+  (seeded, deterministic), candidate pairs only within a bucket,
+  multi-table probing to trade recall for cost.
+
+Exact cosine is always computed on candidates — LSH only limits the
+candidate set, so scores are exact and only recall is approximate.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``unit`` (double array, L2-normalized) — normalize once,
+    reuse across queries."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("unit", F.transform(v, lambda x: x / _norm(v)))
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cosine) top-k by cosine similarity to ``query_vec``."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.linalg.norm(q))
+    qlit = F.array(*[F.lit(x / qn) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, qlit) / _norm(v)
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def knn_join(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Brute-force all-pairs k-NN: (id, neighbor_id, cosine).  O(n^2) —
+    small-corpus validation baseline for ``lsh_knn_join``."""
+    u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("id"), "unit")
+    a, b = u.alias("a"), u.alias("b")
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor_id"),
+        _dot(F.col("a.unit"), F.col("b.unit")).alias("cosine"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> List[List[float]]:
+    """Deterministic random hyperplanes (pure function of inputs)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket_col(vec_col, planes: List[List[float]]):
+    """Sign-bit bucket id from the hyperplane projections."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1 << i).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b_ in bits[1:]:
+        out = out + b_
+    return out.cast("long")
+
+
+def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 7) -> DataFrame:
+    """Approximate k-NN: candidates = pairs sharing an LSH bucket in any
+    of ``n_tables`` hash tables; exact cosine on candidates; top-k per
+    id.  Shuffles only within buckets — the 10^12-row shape."""
+    u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("id"), "unit")
+    dim = len(df.select(vec_col).first()[0])
+    tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        tables.append(
+            u.select(
+                "id", "unit", F.lit(t).alias("tbl"),
+                lsh_bucket_col(F.col("unit"), planes).alias("bucket"),
+            )
+        )
+    buckets = tables[0]
+    for tdf in tables[1:]:
+        buckets = buckets.unionByName(tdf)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.unit").alias("ua"),
+            F.col("b.unit").alias("ub"),
+        )
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "id", "neighbor_id", _dot(F.col("ua"), F.col("ub")).alias("cosine")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

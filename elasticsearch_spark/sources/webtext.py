@@ -69,8 +69,13 @@ def _zipf_weights(n: int, s: float = 1.1) -> List[float]:
 _WEIGHTS = _zipf_weights(VOCAB_SIZE)
 
 
-def gen_doc(i: int, seed: int = 42) -> dict:
-    """Generate row ``i`` of the corpus — pure function of (i, seed).
+def gen_doc(i: int, seed: int = 42, mix_words=None) -> dict:
+    """Generate row ``i`` of the corpus — pure function of (i, seed,
+    mix_words).
+
+    ``mix_words``: optional word pool (e.g. the queryset vocabulary)
+    blended into ~60% of docs as an extra paragraph, so the reference
+    query set has real matches in the synthetic corpus.
 
     Invariant (non-circular, tested in tests/test_extract.py):
     ``extract_text(html) == text`` — the title plus the paragraph words
@@ -105,6 +110,8 @@ def gen_doc(i: int, seed: int = 42) -> dict:
         if cut > prev:
             paras.append(" ".join(words[prev:cut]))
         prev = cut
+    if mix_words and rng.random() < 0.6:
+        paras.append(" ".join(rng.choices(mix_words, k=rng.randint(5, 30))))
 
     def esc(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -130,25 +137,44 @@ def gen_doc(i: int, seed: int = 42) -> dict:
     }
 
 
-def gen_corpus(n_docs: int, seed: int = 42) -> Iterator[dict]:
+def gen_corpus(n_docs: int, seed: int = 42, mix_words=None) -> Iterator[dict]:
     for i in range(n_docs):
-        yield gen_doc(i, seed)
+        yield gen_doc(i, seed, mix_words)
 
 
-def corpus_rows(n_docs: int, seed: int = 42) -> List[tuple]:
+def corpus_rows(n_docs: int, seed: int = 42, mix_words=None) -> List[tuple]:
     """Rows as tuples in input-table column order (for createDataFrame)."""
     return [
         (d["url"], d["warc_ts"], d["html"], d["text"], d["lang"])
-        for d in gen_corpus(n_docs, seed)
+        for d in gen_corpus(n_docs, seed, mix_words)
     ]
 
 
-def write_parquet(path: str, n_docs: int, seed: int = 42) -> None:
+def query_vocab(queryset_path: str) -> List[str]:
+    """Deterministic word pool from the reference queryset (operands
+    only, lowercased, alnum)."""
+    import json
+    import re as _re
+
+    with open(queryset_path) as f:
+        queries = json.load(f)["queries"]
+    pool = []
+    seen = set()
+    for q in queries:
+        for w in _re.findall(r"[A-Za-z0-9]+", q):
+            wl = w.lower()
+            if wl not in ("and", "or", "not") and wl not in seen:
+                seen.add(wl)
+                pool.append(wl)
+    return pool
+
+
+def write_parquet(path: str, n_docs: int, seed: int = 42, mix_words=None) -> None:
     """Write the corpus as a parquet file via pyarrow (no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = list(gen_corpus(n_docs, seed))
+    rows = list(gen_corpus(n_docs, seed, mix_words))
     table = pa.table(
         {
             "url": [r["url"] for r in rows],

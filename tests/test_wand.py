@@ -1,0 +1,82 @@
+"""Block-max WAND must return exactly the exhaustive-scoring top-k
+(rank-identical, scores to 1e-9) — the pruning is provably lossless."""
+
+import os
+
+import pytest
+
+from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+from elasticsearch_spark.operators.query import QueryEngine
+from elasticsearch_spark.operators.wand import WandEngine
+from elasticsearch_spark.oracle.engine import OracleIndex
+from elasticsearch_spark.sources.webtext import corpus_rows, gen_corpus
+
+N_DOCS = 300
+
+QUERIES = [
+    "machine learning",
+    "sparkhead",
+    "running studies dying agreed",
+    "visit mail cannot",
+    "zo",
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_index_root):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    corpus = spark.createDataFrame(corpus_rows(N_DOCS), schema)
+    d = os.path.join(tmp_index_root, "wand_idx")
+    IndexBuilder(spark, d, IndexConfig(n_buckets=8, doc_range_bits=5)).build(corpus)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_index():
+    docs = [
+        (i, d["text"])
+        for i, d in enumerate(
+            sorted(
+                (d for d in gen_corpus(N_DOCS) if d["lang"] == "en"),
+                key=lambda d: d["url"],
+            )
+        )
+    ]
+    return OracleIndex.build(docs)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_matches_oracle(spark, index_dir, oracle_index, query):
+    wand = WandEngine(spark, index_dir)
+    got = wand.topk(query, k=10)
+    want = oracle_index.query(query, k=10)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], query
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+def test_wand_matches_taat_plan(spark, index_dir):
+    taat = QueryEngine(spark, index_dir)
+    wand = WandEngine(spark, index_dir)
+    for query in QUERIES[:3]:
+        a = taat.ranked(query, k=10, with_total_hits=False)["results"]
+        b = wand.topk(query, k=10)["results"]
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+
+def test_wand_empty_query(spark, index_dir):
+    wand = WandEngine(spark, index_dir)
+    assert wand.topk("the and of", k=10)["results"] == []
+    assert wand.topk("notindexedterm", k=10)["results"] == []
