@@ -1,0 +1,85 @@
+"""Streaming index ingestion (Structured Streaming -> segment builds).
+
+The reference's only "streaming" is incremental JSON parsing (SURVEY.md
+§2.1 S3) and its ``update_index`` is a stub (B14); this module gives the
+engine a real incremental path: a Structured Streaming source over the
+webtext input directory feeds ``foreachBatch``, each micro-batch becomes
+one checkpointed index segment (same layout as the batch builder), and
+``finalize`` merges the segment runs — so streaming and batch builds
+produce byte-identical index tables given identical input.
+
+Exactly-once segment semantics come from the pairing of the Spark
+streaming checkpoint (offset tracking) with the builder manifest (a
+batch that reprocesses after a crash overwrites its own segment
+directory idempotently before the manifest records it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.build import IndexBuilder, IndexConfig, assign_doc_ids
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_build(spark: SparkSession, input_dir: str, index_dir: str,
+                 config: IndexConfig = IndexConfig(),
+                 checkpoint_dir: Optional[str] = None,
+                 max_files_per_trigger: int = 4,
+                 finalize: bool = True) -> dict:
+    """Consume all currently-available files (``availableNow`` trigger),
+    building one segment per micro-batch; optionally finalize (merge)."""
+    builder = IndexBuilder(spark, index_dir, config)
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        manifest = builder._load_manifest()
+        seg_name = f"stream_{batch_id:05d}"
+        if manifest["segments"].get(seg_name):
+            return  # replayed batch after restart: already committed
+        # doc ids: dense within batch by url order, offset past all docs
+        # committed so far (streaming arrival order defines global ids)
+        offset = sum(m["n_docs"] for m in manifest["segments"].values())
+        docs = builder.prepare_docs(batch_df.drop("doc_id") if "doc_id" in batch_df.columns else batch_df)
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        manifest["segments"][seg_name] = builder.build_segment(seg_name, docs)
+        builder._save_manifest(manifest)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    manifest = builder._load_manifest()
+    if finalize and manifest["segments"] and not manifest.get("finalized"):
+        stats = builder.finalize(manifest)
+        manifest["finalized"] = True
+        manifest["stats"] = {
+            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
+        }
+        builder._save_manifest(manifest)
+    return manifest

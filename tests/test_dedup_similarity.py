@@ -1,0 +1,107 @@
+"""Dedup + similarity operators: sketch paths validated against exact
+baselines on small corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog".split()),
+        ("d1", "the quick brown fox jumps over the lazy dog".split()),  # exact dup of d0
+        ("d2", "the quick brown fox jumps over the lazy cat".split()),  # near dup
+        ("d3", "completely different words about spark engines here".split()),
+        ("d4", "totally unrelated content regarding database systems".split()),
+        ("d5", "the quick brown fox leaps over the lazy dog".split()),  # near dup
+    ]
+    return spark.createDataFrame(
+        [(i, " ".join(t), t) for i, t in rows], "url string, text string, tokens array<string>"
+    )
+
+
+def test_exact_duplicates(docs):
+    out = {r["id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert out["d1"]["canon_id"] == "d0" and out["d1"]["is_dup"]
+    assert not out["d0"]["is_dup"]
+    assert not out["d2"]["is_dup"]
+
+
+def test_verify_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame([("d0", "d2"), ("d0", "d3")], "a string, b string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.verify_jaccard(pairs, docs, "url", "tokens").collect()}
+    # d0 tokens {the,quick,brown,fox,jumps,over,lazy,dog}=8; d2 swaps dog->cat
+    assert got[("d0", "d2")] == pytest.approx(7 / 9)
+    assert got[("d0", "d3")] == 0.0
+
+
+def test_minhash_lsh_finds_duplicates(docs):
+    out = dedup.minhash_lsh_pairs(docs, verify_threshold=0.7)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert ("d0", "d1") in pairs  # exact dup always collides
+    assert all(not (a == "d3" and b == "d4") for a, b in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    cand = dedup.minhash_lsh_pairs(docs)
+    verified = dedup.verify_jaccard(cand, docs, "url", "tokens").collect()
+    for r in verified:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_identical_docs_equal_sig(docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sigs["d0"] == sigs["d1"]
+    assert sigs["d0"] != sigs["d3"]
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[("d0", "d1")] == 0
+    assert ("d0", "d3") not in pairs or pairs[("d0", "d3")] > 8
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[("d0", "d1")] == 1.0
+    assert ("d0", "d3") not in out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)  # vec 1 ~ vec 0
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(vectors):
+    import numpy as np
+
+    first = vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = similarity.cosine_topk(vectors, first, k=3).collect()
+    assert got[0]["id"] == 0 and got[0]["cosine"] == pytest.approx(1.0)
+    assert got[1]["id"] == 1  # the planted near-neighbor
+
+
+def test_lsh_recall_vs_brute_force(vectors):
+    exact = {
+        r["id"]: r["neighbor_id"]
+        for r in similarity.knn_join(vectors, k=1).collect()
+    }
+    approx = {
+        r["id"]: r["neighbor_id"]
+        for r in similarity.lsh_knn_join(vectors, k=1, n_planes=4, n_tables=6).collect()
+    }
+    # planted pair must be found; overall top-1 recall reasonably high
+    assert approx.get(0) == exact[0] == 1
+    hits = sum(1 for i in exact if approx.get(i) == exact[i])
+    assert hits / len(exact) >= 0.6

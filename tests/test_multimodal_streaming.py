@@ -1,0 +1,87 @@
+"""Multimodal plumbing (binary columns via mapInPandas) + streaming
+segment ingestion."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators import multimodal
+from elasticsearch_spark.sources.webtext import corpus_rows
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [(f"img://{i}", bytes([i % 251] * (600 + 97 * i))) for i in range(6)]
+    return spark.createDataFrame(rows, "url string, data binary")
+
+
+def test_binary_metadata(blobs):
+    out = {r["url"]: r for r in multimodal.binary_metadata(blobs).collect()}
+    assert out["img://0"]["n_bytes"] == 600
+    assert out["img://1"]["content_hash"] != out["img://2"]["content_hash"]
+
+
+def test_image_features_deterministic(blobs):
+    a = sorted(multimodal.image_features(blobs).collect())
+    b = sorted(multimodal.image_features(blobs).collect())
+    assert a == b  # stub decoder is a pure function of the bytes
+    row = dict(zip([f.name for f in multimodal.IMAGE_FEATURES_SCHEMA.fields], a[0]))
+    assert 8 <= row["width"] <= 16 and 8 <= row["height"] <= 16
+    assert row["channels"] == 3
+    assert 0 <= row["mean_luma"] <= 255
+
+
+def test_frame_sample_fanout(blobs):
+    frames = multimodal.frame_sample(blobs, frame_bytes=100, every_n=2).collect()
+    one = [r for r in frames if r["url"] == "img://0"]
+    # 600 bytes -> 6 frames -> sampled idx 0,2,4
+    assert sorted(r["frame_idx"] for r in one) == [0, 2, 4]
+    assert all(len(r["frame"]) == 100 for r in one)
+
+
+def test_stream_build_matches_batch(spark, tmp_index_root):
+    import pyspark.sql.types as T
+
+    from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+    from elasticsearch_spark.operators.query import QueryEngine
+    from elasticsearch_spark.streaming.ingest import stream_build
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = corpus_rows(120)
+    corpus = spark.createDataFrame(rows, schema)
+
+    # write the corpus as several files => several micro-batches
+    input_dir = os.path.join(tmp_index_root, "stream_in")
+    corpus.repartition(4).write.mode("overwrite").parquet(input_dir)
+
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=5)
+    stream_dir = os.path.join(tmp_index_root, "stream_idx")
+    manifest = stream_build(
+        spark, input_dir, stream_dir, cfg, max_files_per_trigger=1
+    )
+    assert manifest["finalized"]
+    assert len(manifest["segments"]) >= 2  # actually saw multiple batches
+
+    batch_dir = os.path.join(tmp_index_root, "stream_batch_idx")
+    IndexBuilder(spark, batch_dir, cfg).build(corpus)
+
+    se = QueryEngine(spark, stream_dir)
+    be = QueryEngine(spark, batch_dir)
+    # same corpus stats and same per-term stats regardless of ingestion path
+    assert se.doc_count == be.doc_count
+    assert se.avg_doc_len == pytest.approx(be.avg_doc_len, abs=1e-9)
+    assert se.stats["n_terms"] == be.stats["n_terms"]
+    assert se.stats["n_postings"] == be.stats["n_postings"]
+    # ranked results agree on scores (doc ids differ: arrival vs url order)
+    a = se.ranked("machine learning", k=5)["results"]
+    b = be.ranked("machine learning", k=5)["results"]
+    assert [round(r["score"], 9) for r in a] == [round(r["score"], 9) for r in b]
