@@ -66,6 +66,7 @@ class IndexConfig:
     use_html: bool = True          # tokenize extracted html (else the text column)
     segment_docs: int = 0          # docs per segment; 0 = single segment
     id_partitions: int = 0         # partitions for doc-id assignment (0 = default)
+    positional: bool = False       # store per-posting position arrays (phrase queries)
 
 
 BLOCK_SCHEMA = T.StructType(
@@ -206,14 +207,30 @@ class IndexBuilder:
         self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
 
         # Wide shuffle: explode -> per-(term,doc) tf with map-side combine.
-        exploded = docs.select(
-            "doc_id", "doc_len", F.explode("tokens").alias("term")
-        )
-        postings = (
-            exploded.groupBy("term", "doc_id", "doc_len")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
-        )
+        if cfg.positional:
+            # posexplode keeps token offsets; positions sorted per posting
+            # (B3 — persisted here, unlike the reference which built and
+            # dropped them, selfindex_z1_simple_compression.py:141)
+            exploded = docs.select(
+                "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
+            )
+            postings = (
+                exploded.groupBy("term", "doc_id", "doc_len")
+                .agg(
+                    F.count("*").cast("int").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
+                .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
+            )
+        else:
+            exploded = docs.select(
+                "doc_id", "doc_len", F.explode("tokens").alias("term")
+            )
+            postings = (
+                exploded.groupBy("term", "doc_id", "doc_len")
+                .agg(F.count("*").cast("int").alias("tf"))
+                .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
+            )
         post_path = self._path("segments", seg_name, "postings")
         (
             postings.repartition(cfg.n_buckets, "bucket")
@@ -357,7 +374,8 @@ class IndexBuilder:
             return pd.DataFrame(out, columns=out_cols)
 
         blocks = (
-            postings.withColumn("range_id", F.shiftright(F.col("doc_id"), range_bits))
+            postings.select("bucket", "term", "doc_id", "tf", "doc_len")
+            .withColumn("range_id", F.shiftright(F.col("doc_id"), range_bits))
             .groupBy("bucket", "range_id")
             .applyInPandas(encode_group, schema=out_schema)
         )

@@ -114,31 +114,31 @@ def verify_jaccard(pairs: DataFrame, df: DataFrame, id_col: str,
 
 def simhash64(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens") -> DataFrame:
     """(id, simhash) — tf-weighted 64-bit SimHash from xxhash64 term
-    hashes; one explode + two aggregations."""
-    spark = df.sparkSession
+    hashes.  Single shuffle: 64 per-bit SUM aggregates in one groupBy
+    (map-side combine) then a bit-pack expression; no 64x bit-fanout
+    join, so shuffle rows = |(doc, token)| pairs."""
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("token"))
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.xxhash64("token"))
     )
-    bits = F.broadcast(spark.range(64).select(F.col("id").cast("int").alias("bit")))
-    return (
-        tf.crossJoin(bits)
-        .select(
-            "id",
-            "bit",
-            (F.col("tf") * (2 * F.expr("(h >> bit) & 1") - 1)).alias("contrib"),
-        )
-        .groupBy("id", "bit")
-        .agg(F.sum("contrib").alias("contrib"))
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.when(F.col("contrib") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-            ).alias("simhash")
-        )
+    contribs = tf.groupBy("id").agg(
+        *[
+            F.sum(F.col("tf") * (2 * F.expr(f"(h >> {bit}) & 1") - 1)).alias(f"c{bit}")
+            for bit in range(64)
+        ]
     )
+    # bit 63 is the sign bit: build the signature as the XOR-style sum of
+    # per-bit longs; shiftleft(1L, 63) wraps to Long.MIN_VALUE, which is
+    # exactly the two's-complement encoding bit_count/XOR expect.
+    packed = None
+    for bit in range(64):
+        term = F.when(
+            F.col(f"c{bit}") > 0, F.expr(f"shiftleft(1L, {bit})")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return contribs.select("id", packed.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",

