@@ -253,9 +253,18 @@ class IndexBuilder:
     def finalize(self, manifest: dict) -> dict:
         """Merge segment runs into the final index: postings (sorted
         merge), dictionary (+idf), docs, compressed block-max runs,
-        corpus stats."""
+        corpus stats.  Tombstoned doc_ids (incremental deletes, B14) are
+        anti-joined out of every merged table."""
         cfg = self.config
         seg_names = sorted(manifest["segments"])
+        tombstones = sorted(manifest.get("tombstones", []))
+        tomb_df = None
+        if tombstones:
+            tomb_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(int(d),) for d in tombstones], "doc_id long"
+                )
+            )
         t0 = time.time()
 
         seg_postings = [
@@ -264,6 +273,8 @@ class IndexBuilder:
         merged = seg_postings[0]
         for p in seg_postings[1:]:
             merged = merged.unionByName(p)
+        if tomb_df is not None:
+            merged = merged.join(tomb_df, "doc_id", "left_anti")
         # Sorted merge of segment runs: bucket partitioning is preserved
         # by the union; one sort per bucket restores (term, doc_id) run
         # order for the final table.
@@ -278,8 +289,24 @@ class IndexBuilder:
         postings = self.spark.read.parquet(post_path)
         t1 = time.time()
 
-        n_docs = sum(m["n_docs"] for m in manifest["segments"].values())
-        sum_len = sum(m["sum_doc_len"] for m in manifest["segments"].values())
+        if tomb_df is None:
+            n_docs = sum(m["n_docs"] for m in manifest["segments"].values())
+            sum_len = sum(m["sum_doc_len"] for m in manifest["segments"].values())
+        else:
+            # recompute from the surviving docs (removed docs' lengths
+            # must leave avgdl — the BM25 normalizer)
+            seg_docs_tmp = [
+                self.spark.read.parquet(self._path("segments", s, "docs"))
+                for s in seg_names
+            ]
+            alive = seg_docs_tmp[0]
+            for d in seg_docs_tmp[1:]:
+                alive = alive.unionByName(d)
+            alive = alive.join(tomb_df, "doc_id", "left_anti")
+            row = alive.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            n_docs, sum_len = row["n"], row["s"] or 0
         avg_doc_len = (sum_len / n_docs) if n_docs else 0.0
 
         # Dictionary: df per term + the reference idf ln((N+1)/(df+1)).
@@ -307,6 +334,8 @@ class IndexBuilder:
         docs_all = seg_docs[0]
         for d in seg_docs[1:]:
             docs_all = docs_all.unionByName(d)
+        if tomb_df is not None:
+            docs_all = docs_all.join(tomb_df, "doc_id", "left_anti")
         docs_path = self._path("docs")
         docs_all.write.mode("overwrite").parquet(docs_path)
         t3 = time.time()
@@ -431,3 +460,113 @@ class IndexBuilder:
             self._save_manifest(manifest)
         docs.unpersist()
         return manifest
+
+    # -------------------------------------------------------- incremental
+    def update_index(self, add: Optional[DataFrame] = None,
+                     remove_urls: Optional[List[str]] = None) -> dict:
+        """Incremental update (B14; reference interface
+        ``index_base.py:65-67`` — only the ES backend implemented it,
+        ``elasticsearch_indexer.py:151-180``; the self-index variants
+        stubbed it as 'rebuild').
+
+        Spark-native: additions become a NEW checkpointed segment (doc
+        ids continue after the current max), removals become manifest
+        tombstones, and re-finalizing runs the same sorted segment merge
+        with a broadcast anti-join on the tombstone set.  Cost is one
+        segment build + one merge — never a full re-tokenize of the
+        corpus.
+        """
+        manifest = self._load_manifest()
+        if not manifest["segments"]:
+            raise ValueError("update_index requires an existing index; use build()")
+        t_start = time.time()
+
+        if remove_urls:
+            docs_tbl = self.spark.read.parquet(self._path("docs"))
+            ids = [
+                r["doc_id"]
+                for r in docs_tbl.filter(F.col("url").isin(remove_urls))
+                .select("doc_id")
+                .collect()
+            ]
+            tombs = set(manifest.get("tombstones", []))
+            tombs.update(int(i) for i in ids)
+            manifest["tombstones"] = sorted(tombs)
+
+        if add is not None:
+            next_id = manifest.get("next_doc_id")
+            if next_id is None:
+                next_id = (
+                    self.spark.read.parquet(self._path("docs"))
+                    .agg(F.max("doc_id"))
+                    .collect()[0][0]
+                    + 1
+                )
+            if "url" in add.columns:
+                # fresh ids by url order, offset past the existing range
+                new_docs = self.prepare_docs(add.drop("doc_id")).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(int(next_id))
+                )
+            else:
+                # caller-managed ids (e.g. the driver testdata shape);
+                # the caller guarantees no collision with live ids
+                new_docs = self.prepare_docs(add)
+            seg_name = f"seg_{len(manifest['segments']):05d}"
+            manifest["segments"][seg_name] = self.build_segment(seg_name, new_docs)
+            manifest["next_doc_id"] = int(next_id) + manifest["segments"][seg_name]["n_docs"]
+
+        manifest["finalized"] = False
+        self._save_manifest(manifest)
+        stats = self.finalize(manifest)
+        manifest["finalized"] = True
+        manifest["stats"] = {
+            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
+        }
+        manifest["total_seconds"] = round(time.time() - t_start, 3)
+        self._save_manifest(manifest)
+        return manifest
+
+    # --------------------------------------------------------- accounting
+    def compression_stats(self) -> dict:
+        """B13: compressed vs uncompressed posting bytes (reference
+        counts 4 B/posting uncompressed,
+        ``selfindex_z1_simple_compression.py:180-215``; ours adds the
+        tf and doc_len streams it ignored)."""
+        blocks = self.spark.read.parquet(self._path("blocks"))
+        row = blocks.agg(
+            F.sum("n").alias("n_postings"),
+            F.sum(
+                F.length("doc_blob") + F.length("tf_blob") + F.length("len_blob")
+            ).alias("compressed_bytes"),
+            F.count("*").alias("n_blocks"),
+        ).collect()[0]
+        uncompressed = 3 * 4 * (row["n_postings"] or 0)  # 3 int32 streams
+        comp = row["compressed_bytes"] or 0
+        return {
+            "n_postings": row["n_postings"],
+            "n_blocks": row["n_blocks"],
+            "compressed_bytes": int(comp),
+            "uncompressed_bytes": int(uncompressed),
+            "ratio": round(comp / uncompressed, 4) if uncompressed else None,
+        }
+
+
+# ------------------------------------------------------- index management
+
+def list_indexes(root: str) -> List[str]:
+    """B15: every finalized index directory under ``root``."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if os.path.exists(os.path.join(root, name, "manifest.json")):
+            out.append(name)
+    return out
+
+
+def delete_index(index_dir: str) -> bool:
+    """B15: drop an index (reference ``selfindex_q_daat.py:260-274``)."""
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        return False
+    shutil.rmtree(index_dir)
+    return True

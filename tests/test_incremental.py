@@ -1,0 +1,110 @@
+"""Incremental index update (B14): add-segment + tombstone merge must be
+query-equivalent to a full rebuild of the post-update corpus (reference
+interface ``index_base.py:65-67``; the ES backend's delete+bulk-add,
+``elasticsearch_indexer.py:151-180``, is the semantic model)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators.build import (
+    IndexBuilder,
+    IndexConfig,
+    delete_index,
+    list_indexes,
+)
+from elasticsearch_spark.operators.query import QueryEngine
+from elasticsearch_spark.sources.webtext import corpus_rows
+from tests.test_spark_engine import INPUT_SCHEMA
+
+QUERIES = ["machine learning", "sparkhead", "zo ta ne"]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    rows = corpus_rows(300)
+    base = spark.createDataFrame(rows[:240], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[240:], INPUT_SCHEMA)
+    return base, extra
+
+
+def _postings_by_url(spark, index_dir):
+    """(url, term, tf) set — the id-agnostic content of the index."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    rows = postings.join(docs, "doc_id").select("url", "term", "tf").collect()
+    return {(r["url"], r["term"], r["tf"]) for r in rows}
+
+
+def _ranked_urls(spark, index_dir, query):
+    eng = QueryEngine(spark, index_dir)
+    res = eng.ranked(query, k=10)
+    docs = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docs")).collect()
+    }
+    return [(docs[r["doc_id"]], round(r["score"], 9)) for r in res["results"]]
+
+
+def test_update_add_and_remove_matches_rebuild(spark, corpora, tmp_index_root):
+    base, extra = corpora
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6)
+
+    # incremental: build on base, then add `extra` and remove 10 urls
+    inc_dir = os.path.join(tmp_index_root, "inc")
+    b = IndexBuilder(spark, inc_dir, cfg)
+    m = b.build(base)
+    assert m["finalized"]
+    # pick urls that are actually indexed (non-en docs are filtered at
+    # build; removing an unindexed url is a no-op)
+    removed = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(inc_dir, "docs"))
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    ]
+    m = b.update_index(add=extra, remove_urls=removed)
+    assert m["finalized"] and len(m["segments"]) == 2
+    assert len(m["tombstones"]) == 10
+
+    # rebuild: one-shot build on (base - removed) + extra
+    target = base.filter(~F.col("url").isin(removed)).unionByName(extra)
+    rb_dir = os.path.join(tmp_index_root, "rebuild")
+    IndexBuilder(spark, rb_dir, cfg).build(target)
+
+    assert _postings_by_url(spark, inc_dir) == _postings_by_url(spark, rb_dir)
+
+    inc_stats = QueryEngine(spark, inc_dir).stats
+    rb_stats = QueryEngine(spark, rb_dir).stats
+    assert inc_stats["doc_count"] == rb_stats["doc_count"]
+    assert abs(inc_stats["avg_doc_len"] - rb_stats["avg_doc_len"]) < 1e-9
+    assert inc_stats["n_terms"] == rb_stats["n_terms"]
+    assert inc_stats["n_postings"] == rb_stats["n_postings"]
+
+    for q in QUERIES:
+        assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
+
+
+def test_update_requires_existing_index(spark, corpora, tmp_index_root):
+    base, _ = corpora
+    b = IndexBuilder(spark, os.path.join(tmp_index_root, "nonexistent"))
+    with pytest.raises(ValueError):
+        b.update_index(add=base)
+
+
+def test_compression_stats(spark, corpora, tmp_index_root):
+    b = IndexBuilder(spark, os.path.join(tmp_index_root, "inc"))
+    stats = b.compression_stats()
+    assert stats["n_postings"] > 0
+    assert 0 < stats["compressed_bytes"] < stats["uncompressed_bytes"]
+    assert stats["ratio"] < 1.0
+
+
+def test_list_and_delete_index(spark, corpora, tmp_index_root):
+    names = list_indexes(tmp_index_root)
+    assert "inc" in names and "rebuild" in names
+    assert delete_index(os.path.join(tmp_index_root, "rebuild"))
+    assert "rebuild" not in list_indexes(tmp_index_root)
+    assert not delete_index(os.path.join(tmp_index_root, "rebuild"))
