@@ -29,8 +29,11 @@ BLOCK_SIZE = 128
 
 # ---------------------------------------------------------------- z=1 VByte
 
-def vbyte_encode(numbers: Sequence[int]) -> bytes:
-    """VByte-encode non-negative ints (reference ``encode_list``)."""
+def _vbyte_encode_scalar(numbers: Sequence[int]) -> bytes:
+    """Bit-exact transliteration of the reference ``encode_list``
+    (``selfindex_z1_simple_compression.py:18-41``) — kept as the codec
+    spec; the vectorized :func:`vbyte_encode` must match it byte-for-
+    byte (tested in tests/test_codec.py)."""
     out = bytearray()
     for n in numbers:
         if n == 0:
@@ -45,8 +48,9 @@ def vbyte_encode(numbers: Sequence[int]) -> bytes:
     return bytes(out)
 
 
-def vbyte_decode(data: bytes) -> List[int]:
-    """Decode VByte stream (reference ``decode_list``)."""
+def _vbyte_decode_scalar(data: bytes) -> List[int]:
+    """Reference ``decode_list`` (``selfindex_z1…:43-57``); spec twin of
+    :func:`vbyte_decode`."""
     numbers = []
     current = 0
     for byte in data:
@@ -58,23 +62,89 @@ def vbyte_decode(data: bytes) -> List[int]:
     return numbers
 
 
-def delta_encode(numbers: Sequence[int]) -> bytes:
+_U7 = np.uint64(7)
+_U7F = np.uint64(0x7F)
+_U80 = np.uint64(0x80)
+
+
+def vbyte_encode(numbers) -> bytes:
+    """VByte-encode non-negative ints — numpy-vectorized (the loop runs
+    over byte *positions*, max 10 iterations, not over values)."""
+    arr = np.asarray(numbers, dtype=np.uint64)
+    n = arr.size
+    if n == 0:
+        return b""
+    lengths = np.ones(n, dtype=np.int64)
+    v = arr >> _U7
+    while v.any():
+        lengths += v > 0
+        v >>= _U7
+    ends = np.cumsum(lengths)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    pos = ends - 1
+    v = arr.copy()
+    # last (terminator) byte of every value: low 7 bits | 0x80
+    out[pos] = ((v & _U7F) | _U80).astype(np.uint8)
+    v >>= _U7
+    active = v > 0
+    pos -= 1
+    while active.any():
+        idx = np.nonzero(active)[0]
+        out[pos[idx]] = (v[idx] & _U7F).astype(np.uint8)
+        v >>= _U7
+        active = v > 0
+        pos -= 1
+    return out.tobytes()
+
+
+def vbyte_decode_np(data: bytes) -> np.ndarray:
+    """Decode VByte stream -> int64 array (vectorized)."""
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_last = (b & 0x80) > 0
+    ends = np.nonzero(is_last)[0]
+    if ends.size == 0:
+        return np.empty(0, dtype=np.int64)
+    # drop a trailing incomplete value (reference decoder behavior)
+    valid = np.arange(b.size) <= ends[-1]
+    b = b[valid]
+    is_last = is_last[valid]
+    gid = np.zeros(b.size, dtype=np.int64)
+    gid[1:] = np.cumsum(is_last[:-1])
+    shifts = (_U7 * (ends[gid] - np.arange(b.size)).astype(np.uint64))
+    vals = (b & np.uint8(0x7F)).astype(np.uint64) << shifts
+    out = np.zeros(ends.size, dtype=np.uint64)
+    np.bitwise_or.at(out, gid, vals)
+    return out.astype(np.int64)
+
+
+def vbyte_decode(data: bytes) -> List[int]:
+    """Decode VByte stream (reference ``decode_list`` semantics)."""
+    return vbyte_decode_np(data).tolist()
+
+
+def delta_encode(numbers) -> bytes:
     """First value + successive gaps, VByte-packed (reference
     ``encode_delta``; requires sorted ascending input for non-negative
     gaps)."""
-    if not len(numbers):
-        return b""
     arr = np.asarray(numbers, dtype=np.int64)
+    if not arr.size:
+        return b""
     deltas = np.empty_like(arr)
     deltas[0] = arr[0]
     np.subtract(arr[1:], arr[:-1], out=deltas[1:])
-    return vbyte_encode(deltas.tolist())
+    return vbyte_encode(deltas)
+
+
+def delta_decode_np(data: bytes) -> np.ndarray:
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(vbyte_decode_np(data))
 
 
 def delta_decode(data: bytes) -> List[int]:
-    if not data:
-        return []
-    return np.cumsum(np.asarray(vbyte_decode(data), dtype=np.int64)).tolist()
+    return delta_decode_np(data).tolist()
 
 
 # ---------------------------------------------------------------- z=2 zlib
@@ -108,18 +178,18 @@ def zlib_delta_decode(data: bytes) -> List[int]:
 
 # ------------------------------------------------------------- block layout
 
-def encode_block(doc_ids: Sequence[int], tfs: Sequence[int],
-                 doc_lens: Sequence[int]) -> tuple[bytes, bytes, bytes]:
+def encode_block(doc_ids, tfs, doc_lens) -> tuple[bytes, bytes, bytes]:
     """One posting block -> (doc_gap_blob, tf_blob, doc_len_blob)."""
-    return delta_encode(doc_ids), vbyte_encode(list(tfs)), vbyte_encode(list(doc_lens))
+    return delta_encode(doc_ids), vbyte_encode(tfs), vbyte_encode(doc_lens)
 
 
 def decode_block(doc_blob: bytes, tf_blob: bytes, len_blob: bytes):
     """-> (doc_ids, tfs, doc_lens) as int64 numpy arrays."""
-    doc_ids = np.asarray(delta_decode(doc_blob), dtype=np.int64)
-    tfs = np.asarray(vbyte_decode(tf_blob), dtype=np.int64)
-    doc_lens = np.asarray(vbyte_decode(len_blob), dtype=np.int64)
-    return doc_ids, tfs, doc_lens
+    return (
+        delta_decode_np(doc_blob),
+        vbyte_decode_np(tf_blob),
+        vbyte_decode_np(len_blob),
+    )
 
 
 def bm25_impact(tfs: np.ndarray, doc_lens: np.ndarray, avg_doc_len: float,

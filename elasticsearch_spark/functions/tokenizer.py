@@ -40,6 +40,21 @@ _NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]")
 _WS_RE = re.compile(r"\s+")
 _RAW_TOKEN_RE = re.compile(r"\b\w+\b")
 
+# Token->stem memo (Zipf vocabularies make this ~always hit).  Bounded so
+# an adversarial unbounded vocabulary cannot OOM a long-lived executor;
+# pure cache, so byte-identity of the pipeline is unaffected.
+_STEM_CACHE: dict = {}
+_STEM_CACHE_MAX = 1_000_000
+
+
+def _stem_cached(token: str) -> str:
+    s = _STEM_CACHE.get(token)
+    if s is None:
+        s = stem(token)
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[token] = s
+    return s
+
 BOOLEAN_OPERATORS = frozenset({"AND", "OR", "NOT"})
 PRECEDENCE = {"OR": 1, "AND": 2, "NOT": 3}
 
@@ -61,7 +76,7 @@ def tokenize(text: str) -> List[str]:
             continue
         if token in ENGLISH_STOPWORDS:
             continue
-        out.append(stem(token))
+        out.append(_stem_cached(token))
     return out
 
 

@@ -84,6 +84,25 @@ BLOCK_SCHEMA = T.StructType(
 )
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Copy a parquet directory tree with hardlinks (fallback: copy) —
+    the local-fs analogue of a metadata-only table move; on an object
+    store this is a server-side copy with no shuffle or decode."""
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_dir = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out_dir, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 0) -> DataFrame:
     """Dense sequential doc_id by global ``order_col`` order, without a
     single-partition window: range-partition on the key, count rows per
@@ -189,8 +208,30 @@ class IndexBuilder:
                 tokens.alias("tokens"),
             )
         else:
-            df = df.select(F.col("url").cast("string").alias("url"), tokens.alias("tokens"))
-            df = assign_doc_ids(df, "url", self.config.id_partitions)
+            # Assign ids on a NARROW url-only projection (parquet column
+            # pruning makes the range-partitioner's sampling pass and the
+            # id shuffle nearly free), then hash-join the mapping back.
+            # This keeps the heavy extract/tokenize UDF out of the range
+            # partitioner's sampling re-execution AND runs it after a
+            # shuffle, i.e. on spark.sql.shuffle.partitions partitions
+            # rather than whatever the input file split count was.
+            base = df.withColumn("url", F.col("url").cast("string"))
+            ids = assign_doc_ids(
+                base.select("url"), "url", self.config.id_partitions
+            )
+            n_parts = self.config.id_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            # Catalyst broadcasts the small id map, which would leave the
+            # join output on the raw scan's file-split partitioning (often
+            # far fewer splits than cores) — repartition by doc_id BEFORE
+            # the tokenize UDF so the Python stage uses every core and
+            # Zipf-length skew is spread round-robin-by-hash.
+            df = (
+                base.join(ids, "url")
+                .repartition(n_parts, "doc_id")
+                .select("doc_id", "url", tokens.alias("tokens"))
+            )
         return df.select("doc_id", "url", F.size("tokens").alias("doc_len"), "tokens")
 
     def build_segment(self, seg_name: str, docs: DataFrame) -> dict:
@@ -232,9 +273,13 @@ class IndexBuilder:
                 .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
             )
         post_path = self._path("segments", seg_name, "postings")
+        # Bucket exchange -> one sorted run file per bucket.  The sort
+        # leads with the partition column so the dynamic-partition writer
+        # needs no extra planner-inserted sort, and (term, doc_id) order
+        # within each file gives parquet row-group stats for term pruning.
         (
             postings.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("bucket", "term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(post_path)
@@ -267,25 +312,32 @@ class IndexBuilder:
             )
         t0 = time.time()
 
-        seg_postings = [
-            self.spark.read.parquet(self._path("segments", s, "postings")) for s in seg_names
-        ]
-        merged = seg_postings[0]
-        for p in seg_postings[1:]:
-            merged = merged.unionByName(p)
-        if tomb_df is not None:
-            merged = merged.join(tomb_df, "doc_id", "left_anti")
-        # Sorted merge of segment runs: bucket partitioning is preserved
-        # by the union; one sort per bucket restores (term, doc_id) run
-        # order for the final table.
         post_path = self._path("postings")
-        (
-            merged.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(post_path)
-        )
+        if len(seg_names) == 1 and tomb_df is None:
+            # Single-segment fast path: the segment run IS the final
+            # table (already bucket-partitioned and (term, doc_id)
+            # sorted) — link files instead of re-shuffling ~all postings.
+            _link_tree(self._path("segments", seg_names[0], "postings"), post_path)
+        else:
+            seg_postings = [
+                self.spark.read.parquet(self._path("segments", s, "postings"))
+                for s in seg_names
+            ]
+            merged = seg_postings[0]
+            for p in seg_postings[1:]:
+                merged = merged.unionByName(p)
+            if tomb_df is not None:
+                merged = merged.join(tomb_df, "doc_id", "left_anti")
+            # Sorted merge of segment runs: bucket partitioning is
+            # preserved by the union; one sort per bucket restores
+            # (term, doc_id) run order for the final table.
+            (
+                merged.repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(post_path)
+            )
         postings = self.spark.read.parquet(post_path)
         t1 = time.time()
 
@@ -330,14 +382,17 @@ class IndexBuilder:
         t2 = time.time()
 
         # Docs table (merged).
-        seg_docs = [self.spark.read.parquet(self._path("segments", s, "docs")) for s in seg_names]
-        docs_all = seg_docs[0]
-        for d in seg_docs[1:]:
-            docs_all = docs_all.unionByName(d)
-        if tomb_df is not None:
-            docs_all = docs_all.join(tomb_df, "doc_id", "left_anti")
         docs_path = self._path("docs")
-        docs_all.write.mode("overwrite").parquet(docs_path)
+        if len(seg_names) == 1 and tomb_df is None:
+            _link_tree(self._path("segments", seg_names[0], "docs"), docs_path)
+        else:
+            seg_docs = [self.spark.read.parquet(self._path("segments", s, "docs")) for s in seg_names]
+            docs_all = seg_docs[0]
+            for d in seg_docs[1:]:
+                docs_all = docs_all.unionByName(d)
+            if tomb_df is not None:
+                docs_all = docs_all.join(tomb_df, "doc_id", "left_anti")
+            docs_all.write.mode("overwrite").parquet(docs_path)
         t3 = time.time()
 
         # Compressed block-max runs per (term, doc-range).
@@ -382,9 +437,7 @@ class IndexBuilder:
                 doc_ids = grp["doc_id"].to_numpy()
                 tfs = grp["tf"].to_numpy()
                 lens = grp["doc_len"].to_numpy()
-                doc_blob, tf_blob, len_blob = codec.encode_block(
-                    doc_ids.tolist(), tfs.tolist(), lens.tolist()
-                )
+                doc_blob, tf_blob, len_blob = codec.encode_block(doc_ids, tfs, lens)
                 imp = codec.bm25_impact(tfs, lens, avg_doc_len, k1, b)
                 out.append(
                     (
@@ -424,16 +477,24 @@ class IndexBuilder:
         manifest = self._load_manifest()
         t_start = time.time()
 
-        docs = self.prepare_docs(raw)
+        # Tokenize exactly once into a columnar forward table — cheaper
+        # and more resumable than caching 10^8s of token strings as JVM
+        # objects (deserialized persist would GC-thrash at scale), and a
+        # crash after this point never re-runs the Python UDF.
+        tokens_path = self._path("tokens")
+        if not os.path.exists(os.path.join(tokens_path, "_SUCCESS")):
+            t0 = time.time()
+            self.prepare_docs(raw).write.mode("overwrite").parquet(tokens_path)
+            self._record("tokenize", time.time() - t0)
+        docs = self.spark.read.parquet(tokens_path)
+
         if cfg.segment_docs and cfg.segment_docs > 0:
             # Segment by doc_id range: deterministic, resumable.
             n_total = docs.agg(F.max("doc_id")).collect()[0][0]
             n_total = (n_total + 1) if n_total is not None else 0
             n_segments = max(1, math.ceil(n_total / cfg.segment_docs))
-            docs = docs.persist()
         else:
             n_segments = 1
-            docs = docs.persist()
 
         built = 0
         for i in range(n_segments):
@@ -458,7 +519,6 @@ class IndexBuilder:
             manifest["stats"] = {k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")}
             manifest["total_seconds"] = round(time.time() - t_start, 3)
             self._save_manifest(manifest)
-        docs.unpersist()
         return manifest
 
     # -------------------------------------------------------- incremental
@@ -512,6 +572,10 @@ class IndexBuilder:
                 # the caller guarantees no collision with live ids
                 new_docs = self.prepare_docs(add)
             seg_name = f"seg_{len(manifest['segments']):05d}"
+            # tokenize-once for the segment (same rationale as build())
+            tok_path = self._path("segments", seg_name, "tokens")
+            new_docs.write.mode("overwrite").parquet(tok_path)
+            new_docs = self.spark.read.parquet(tok_path)
             manifest["segments"][seg_name] = self.build_segment(seg_name, new_docs)
             manifest["next_doc_id"] = int(next_id) + manifest["segments"][seg_name]["n_docs"]
 

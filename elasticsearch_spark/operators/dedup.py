@@ -45,15 +45,26 @@ def _token_set(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str, tokens_col: str,
                        n_hashes: int = 32) -> DataFrame:
     """(id, perm, minhash) — k permutations as min over xxhash64(perm,
-    token)."""
-    spark = df.sparkSession
+    token).  Single shuffle: k per-perm MIN aggregates in one
+    groupBy(id) with map-side combine (no k-way crossJoin fan-out),
+    then an explode back to the row shape."""
     toks = _token_set(df, id_col, tokens_col)
-    perms = F.broadcast(spark.range(n_hashes).select(F.col("id").cast("int").alias("perm")))
-    return (
-        toks.crossJoin(perms)
-        .select("id", "perm", F.xxhash64(F.col("perm"), F.col("token")).alias("h"))
-        .groupBy("id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    wide = toks.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i).cast("int"), F.col("token"))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("perm"), F.col(f"m{i}").alias("minhash")
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return wide.select("id", F.explode(perms).alias("s")).select(
+        "id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash")
     )
 
 

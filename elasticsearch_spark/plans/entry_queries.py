@@ -627,22 +627,32 @@ FROM bands a JOIN bands b
 )
 def minhash_band_pairs(spark, sf_dir):
     """MinHash (8 perms via md5(seed:term) string-min) + LSH banding
-    (4 bands x 2 rows) candidate pairs."""
+    (4 bands x 2 rows) candidate pairs.
+
+    Single-shuffle signatures: 8 per-seed MIN aggregates in one
+    groupBy(doc_id) (map-side combine) instead of a seed crossJoin —
+    shuffle rows = |(doc, term)| pairs, not 8x that.  Band hashes are
+    then pure column expressions (least/greatest = the per-band min/max
+    over its 2 rows)."""
     t = _tok(spark, sf_dir).distinct()
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("i"))
-    sig = (
-        t.crossJoin(seeds)
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term"))).alias("mh"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("mh").alias("h"))
+    sig = t.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"h{i}")
+            for i in range(8)
+        ]
     )
-    bands = sig.groupBy(
-        "doc_id", F.floor(F.col("i") / 2).cast("long").alias("band")
-    ).agg(F.concat(F.min("h"), F.max("h")).alias("bh"))
+    band_cols = []
+    for band in range(4):
+        lo, hi = f"h{2 * band}", f"h{2 * band + 1}"
+        band_cols.append(
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.concat(F.least(lo, hi), F.greatest(lo, hi)).alias("bh"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (

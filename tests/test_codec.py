@@ -76,3 +76,30 @@ def test_block_roundtrip_and_impact():
     expect0 = 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 30 / 100))
     assert abs(imp[0] - expect0) < 1e-12
     assert imp.max() <= 1.2 + 1  # bounded by k1+1
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62 - 1), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_matches_scalar_reference(values):
+    """The numpy codec must be byte-identical to the scalar reference
+    transliteration (selfindex_z1_simple_compression.py:18-57)."""
+    from elasticsearch_spark.functions.codec import (
+        _vbyte_decode_scalar,
+        _vbyte_encode_scalar,
+    )
+
+    blob = vbyte_encode(values)
+    assert blob == _vbyte_encode_scalar(values)
+    assert vbyte_decode(blob) == _vbyte_decode_scalar(blob) == values
+
+
+def test_decode_truncated_stream_drops_incomplete_tail():
+    # reference decoder leaves an unterminated trailing value unfinished
+    blob = vbyte_encode([5, 300]) + b"\x01\x02"  # dangling continuation
+    from elasticsearch_spark.functions.codec import _vbyte_decode_scalar
+
+    assert vbyte_decode(blob) == _vbyte_decode_scalar(blob) == [5, 300]

@@ -21,6 +21,12 @@ from elasticsearch_spark.session import get_spark
 from elasticsearch_spark.sources.webtext import corpus_rows
 
 
+def F_desc_df():
+    from pyspark.sql import functions as F
+
+    return F.col("df").desc()
+
+
 def main():
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     import pyspark.sql.types as T
@@ -42,26 +48,33 @@ def main():
     engine = QueryEngine(spark, idx)
     wand = WandEngine(spark, idx)
 
+    # pick two mid-df terms guaranteed to exist in this corpus
+    t1, t2 = [
+        r["term"]
+        for r in engine._dictionary.orderBy(F_desc_df()).limit(2).collect()
+    ]
+    print(f"# demo terms: {t1!r} {t2!r}")
+
     print("=" * 70, "\n## pruned postings scan (expect PartitionFilters on bucket,")
     print("## PushedFilters on term, pruned ReadSchema)\n", "=" * 70)
-    engine._pruned_postings(["machin", "learn"]).explain("formatted")
+    engine._pruned_postings([t1, t2]).explain("formatted")
 
     print("=" * 70, "\n## BM25 ranked plan (expect partial agg before shuffle,")
     print("## TakeOrderedAndProject at the top)\n", "=" * 70)
-    engine.score_plan("machine learning").orderBy("score", ascending=False).limit(10).explain("formatted")
+    engine.score_plan(f"{t1} {t2}").orderBy("score", ascending=False).limit(10).explain("formatted")
 
     print("=" * 70, "\n## batch plan (expect single broadcast of query weights)\n", "=" * 70)
     # reproduce the internal plan without collecting
     print("(see operators/query.py batch_ranked; broadcast hint explicit)")
 
     print("=" * 70, "\n## boolean AND plan (expect join, no cartesian)\n", "=" * 70)
-    engine.boolean_plan("machin AND learn").explain("formatted")
+    engine.boolean_plan(f"{t1} AND {t2}").explain("formatted")
 
     print("=" * 70, "\n## WAND phase-0 metadata scan (expect blob columns absent")
     print("## from ReadSchema)\n", "=" * 70)
     from pyspark.sql import functions as F
 
-    blocks = wand._blocks.filter(F.col("term").isin(["machin", "learn"]))
+    blocks = wand._blocks.filter(F.col("term").isin([t1, t2]))
     (
         blocks.select("range_id", (F.col("max_impact")).alias("ub"))
         .groupBy("range_id")
