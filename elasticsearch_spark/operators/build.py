@@ -241,9 +241,10 @@ class IndexBuilder:
         t0 = time.time()
         docs_path = self._path("segments", seg_name, "docs")
         docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(docs_path)
-        docs_written = self.spark.read.parquet(docs_path)
-        n_docs = docs_written.count()
-        sum_len = docs_written.agg(F.sum("doc_len")).collect()[0][0] or 0
+        row = self.spark.read.parquet(docs_path).agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs, sum_len = row["n"], row["s"] or 0
         t1 = time.time()
         self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
 

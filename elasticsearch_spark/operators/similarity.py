@@ -87,6 +87,72 @@ def lsh_bucket_col(vec_col, planes: List[List[float]]):
     return out.cast("long")
 
 
+def kmeans_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
+                     sample_size: int = 10_000, iters: int = 10,
+                     seed: int = 7) -> List[List[float]]:
+    """Deterministic coarse quantizer: numpy k-means on a driver-side
+    sample (bounded memory — the sample, not the table, reaches the
+    driver).  Centroids are broadcast back into column expressions."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / np.maximum(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _cell_col(unit_col, centroids: List[List[float]]):
+    """argmax-cosine cell id as a pure column expression (centroids are
+    unit vectors, so dot = cosine).  array_position is 1-based."""
+    sims = F.array(
+        *[
+            _dot(unit_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
+
+
+def ivf_assign(df: DataFrame, centroids: List[List[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, unit) — IVF list assignment; write partitioned by cell
+    for a 10^12-row corpus so probes prune partitions."""
+    u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("id"), "unit")
+    return u.withColumn("cell", _cell_col(F.col("unit"), centroids))
+
+
+def ivf_topk(df: DataFrame, query_vec: Sequence[float], centroids: List[List[float]],
+             k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF query: score only vectors in the ``n_probe`` cells nearest the
+    query (exact cosine on candidates; recall is the only approximation).
+    At scale the cell filter is a partition prune, not a scan."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cents = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(-(cents @ q))[:n_probe].tolist()
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select("id", _dot(F.col("unit"), qlit).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  seed: int = 7) -> DataFrame:

@@ -119,6 +119,11 @@ class WandEngine:
             r["term"]: r["idf"] * counts[r["term"]] for r in rows if r["idf"] != 0.0
         }
 
+    # below this many doc-ranges the 3-phase UB dance costs more in job
+    # scheduling than it saves in decode work — run the kernel once over
+    # every candidate range (still partition/term-pruned)
+    SINGLE_PHASE_RANGES = 256
+
     def topk_df(self, query: str, k: int = 10) -> DataFrame:
         weights = self._weights(query)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -129,6 +134,17 @@ class WandEngine:
         blocks = self._blocks.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+
+        # corpus-derived range count — known without a job
+        n_ranges_max = (max(self.stats["doc_count"] - 1, 0) >> self.range_bits) + 1
+        if n_ranges_max <= self.SINGLE_PHASE_RANGES:
+            kernel = _make_kernel(
+                weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k
+            )
+            scored = blocks.groupBy("range_id").applyInPandas(
+                lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
+            )
+            return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
         # phase 0: metadata-only per-range upper bounds
         w_items: list = []

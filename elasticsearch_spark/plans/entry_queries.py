@@ -835,6 +835,75 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @register(
+    "events_sessions",
+    """WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM s GROUP BY user_id, sid""",
+)
+def events_sessions(spark, sf_dir):
+    """Per-user session windows (gap 30 min) via the built-in
+    ``session_window`` — the batch shape of the streaming sessionization
+    in streaming/events.py; oracle is the classic gaps-and-islands SQL."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value_r"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value_r",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    """SELECT event_type,
+       strftime(start, '%Y-%m-%d %H:%M:%S') AS wstart,
+       count(*)::BIGINT AS cnt,
+       round(sum(value), 4) AS sum_value_r
+FROM (SELECT event_type, ts, value,
+             time_bucket(INTERVAL 30 MINUTE, ts) - (s.i * INTERVAL 30 MINUTE) AS start
+      FROM events, generate_series(0, 1) s(i))
+WHERE ts >= start AND ts < start + INTERVAL 1 HOUR
+GROUP BY event_type, start""",
+)
+def events_sliding(spark, sf_dir):
+    """Sliding 1h windows every 30 min (each event lands in 2 windows);
+    DuckDB oracle reconstructs the window set with time_bucket."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value_r"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "cnt",
+            "sum_value_r",
+        )
+    )
+
+
+@register(
     "events_hourly",
     """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value_r

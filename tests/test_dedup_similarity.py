@@ -105,3 +105,56 @@ def test_lsh_recall_vs_brute_force(vectors):
     assert approx.get(0) == exact[0] == 1
     hits = sum(1 for i in exact if approx.get(i) == exact[i])
     assert hits / len(exact) >= 0.6
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """3 well-separated clusters of 15 vectors each — the IVF-friendly
+    regime (near-neighbors share a cell)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(3, 16) * 5
+    rows = []
+    for i in range(45):
+        c = i % 3
+        rows.append((i, (centers[c] + 0.3 * rng.randn(16)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_matches_brute_force_on_clusters(clustered_vectors):
+    cents = similarity.kmeans_centroids(clustered_vectors, n_cells=3, seed=3)
+    assert len(cents) == 3
+    q = clustered_vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["id"] for r in similarity.cosine_topk(clustered_vectors, q, k=5).collect()]
+    approx = [
+        r["id"]
+        for r in similarity.ivf_topk(
+            clustered_vectors, q, cents, k=5, n_probe=1
+        ).collect()
+    ]
+    # with clean clusters, probing the single nearest cell is exact
+    assert approx == exact
+
+
+def test_ivf_assign_partitions_all_vectors(clustered_vectors):
+    cents = similarity.kmeans_centroids(clustered_vectors, n_cells=3, seed=3)
+    assigned = similarity.ivf_assign(clustered_vectors, cents)
+    assert assigned.count() == 45
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2} and len(cells) == 3
+    # every vector of one planted cluster lands in the same cell
+    mates = (
+        assigned.filter(F.col("id").isin([0, 3, 6, 9, 12]))
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert mates == 1
+
+
+def test_ivf_probe_widening_recovers_recall(clustered_vectors):
+    cents = similarity.kmeans_centroids(clustered_vectors, n_cells=3, seed=3)
+    q = clustered_vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+    all_probe = similarity.ivf_topk(clustered_vectors, q, cents, k=45, n_probe=3)
+    assert all_probe.count() == 45  # probing every cell degrades to brute force
