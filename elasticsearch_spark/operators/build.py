@@ -67,6 +67,10 @@ class IndexConfig:
     segment_docs: int = 0          # docs per segment; 0 = single segment
     id_partitions: int = 0         # partitions for doc-id assignment (0 = default)
     positional: bool = False       # store per-posting position arrays (phrase queries)
+    shuffle_salt: int = 1          # >1: split each bucket across salt sub-shuffles
+                                   # (explicit head-term skew handling; Zipf head
+                                   # terms make single-bucket partitions unbalanced
+                                   # at scale even after tf pre-aggregation)
 
 
 BLOCK_SCHEMA = T.StructType(
@@ -82,6 +86,17 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("len_blob", T.BinaryType()),
     ]
 )
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -274,17 +289,29 @@ class IndexBuilder:
                 .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_buckets))
             )
         post_path = self._path("segments", seg_name, "postings")
-        # Bucket exchange -> one sorted run file per bucket.  The sort
+        # Bucket exchange -> sorted run file(s) per bucket.  The sort
         # leads with the partition column so the dynamic-partition writer
         # needs no extra planner-inserted sort, and (term, doc_id) order
         # within each file gives parquet row-group stats for term pruning.
-        (
-            postings.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(post_path)
-        )
+        # shuffle_salt > 1 splits each bucket across salt sub-shuffles by
+        # doc range — the explicit skew guard for Zipf head terms (each
+        # salted slice is still a sorted (term, doc_id) run; readers
+        # merge runs, so multiple files per bucket are part of the
+        # contract).
+        if cfg.shuffle_salt > 1:
+            salted = postings.withColumn(
+                "_salt", F.pmod(F.col("doc_id"), F.lit(cfg.shuffle_salt)).cast("int")
+            )
+            writer = (
+                salted.repartition(cfg.n_buckets * cfg.shuffle_salt, "bucket", "_salt")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .drop("_salt")
+            )
+        else:
+            writer = postings.repartition(cfg.n_buckets, "bucket").sortWithinPartitions(
+                "bucket", "term", "doc_id"
+            )
+        writer.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
         n_postings = self.spark.read.parquet(post_path).count()
         t2 = time.time()
         self._record(f"{seg_name}/postings", t2 - t1, docs=n_docs, postings=n_postings)
@@ -412,6 +439,12 @@ class IndexBuilder:
             "n_postings": n_postings,
             "config": asdict(cfg),
             "build_metrics": self.metrics,
+            # A6 analogue: on-disk footprint per table (reference reports
+            # pickle file size, plot_a_datastore.py:458-491)
+            "table_bytes": {
+                t: _tree_bytes(self._path(t))
+                for t in ("postings", "blocks", "dictionary", "docs", "tokens")
+            },
         }
         with open(self._path("stats.json"), "w") as f:
             json.dump(stats, f, indent=2)

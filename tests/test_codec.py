@@ -103,3 +103,23 @@ def test_decode_truncated_stream_drops_incomplete_tail():
     from elasticsearch_spark.functions.codec import _vbyte_decode_scalar
 
     assert vbyte_decode(blob) == _vbyte_decode_scalar(blob) == [5, 300]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_z1_z2_cross_implementation_agreement(values):
+    """verify_compression.py:82-105 semantics: the VByte (z=1) and zlib
+    (z=2) codecs must decode any sorted posting list to identical ints."""
+    postings = sorted(values)
+    assert (
+        delta_decode(delta_encode(postings))
+        == zlib_delta_decode(zlib_delta_encode(postings))
+        == postings
+    )

@@ -108,3 +108,21 @@ def test_list_and_delete_index(spark, corpora, tmp_index_root):
     assert delete_index(os.path.join(tmp_index_root, "rebuild"))
     assert "rebuild" not in list_indexes(tmp_index_root)
     assert not delete_index(os.path.join(tmp_index_root, "rebuild"))
+
+
+def test_salted_build_identical_index(spark, corpora, tmp_index_root):
+    """shuffle_salt splits buckets into doc-range sub-runs; the logical
+    index (postings set, stats, top-k) must be unchanged."""
+    base, _ = corpora
+    plain_dir = os.path.join(tmp_index_root, "plain")
+    salted_dir = os.path.join(tmp_index_root, "salted")
+    IndexBuilder(spark, plain_dir, IndexConfig(n_buckets=4, doc_range_bits=6)).build(base)
+    IndexBuilder(
+        spark, salted_dir, IndexConfig(n_buckets=4, doc_range_bits=6, shuffle_salt=3)
+    ).build(base)
+    assert _postings_by_url(spark, plain_dir) == _postings_by_url(spark, salted_dir)
+    for q in QUERIES:
+        assert _ranked_urls(spark, plain_dir, q) == _ranked_urls(spark, salted_dir, q), q
+    ps = QueryEngine(spark, plain_dir).stats
+    ss = QueryEngine(spark, salted_dir).stats
+    assert (ps["n_postings"], ps["n_terms"]) == (ss["n_postings"], ss["n_terms"])
