@@ -98,25 +98,33 @@ class WandEngine:
         self.avg_doc_len = self.stats["avg_doc_len"]
         self._blocks = self.spark.read.parquet(os.path.join(index_dir, "blocks"))
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        self._idf_cache: Dict[str, float] = {}  # B6 idf cache (misses as 0.0)
 
     def _terms(self, query: str) -> List[str]:
         return query.split() if self.pretokenized else preprocess_query(query)
 
     def _weights(self, query: str) -> Dict[str, float]:
         """term -> idf * multiplicity (0-idf terms dropped, like the
-        reference)."""
+        reference); dictionary lookups memoized across queries."""
         terms = self._terms(query)
         counts = Counter(terms)
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in counts})
-        rows = (
-            self._dictionary.filter(
-                F.col("bucket").isin(buckets) & F.col("term").isin(list(counts))
+        missing = sorted(t for t in counts if t not in self._idf_cache)
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            rows = (
+                self._dictionary.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .select("term", "idf")
+                .collect()
             )
-            .select("term", "idf")
-            .collect()
-        )
+            found = {r["term"]: r["idf"] for r in rows}
+            for t in missing:
+                self._idf_cache[t] = found.get(t, 0.0)
         return {
-            r["term"]: r["idf"] * counts[r["term"]] for r in rows if r["idf"] != 0.0
+            t: self._idf_cache[t] * c
+            for t, c in counts.items()
+            if self._idf_cache[t] != 0.0
         }
 
     # below this many doc-ranges the 3-phase UB dance costs more in job

@@ -171,3 +171,20 @@ def test_blocks_roundtrip(spark, index_dir, oracle_index):
     assert len(got) == len(oracle_index.postings)
     for term, plist in oracle_index.postings.items():
         assert sorted(got[term]) == plist, term
+
+
+@pytest.mark.parametrize("query", RANKED_QUERIES)
+def test_fused_plan_rank_identity(engine, oracle_index, query):
+    """The single-job broadcast-join plan must match the driver-lookup
+    plan (and hence the oracle) exactly."""
+    want = oracle_index.query(query, k=10)
+    plan = engine.score_plan_fused(query)
+    if plan is None:
+        assert want["total_hits"] == 0 or want["results"] == []
+        return
+    got = (
+        plan.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10).collect()
+    )
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want["results"]], query
+    for g, w in zip(got, want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
