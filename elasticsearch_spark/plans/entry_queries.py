@@ -835,6 +835,29 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @register(
+    "events_value_percentiles",
+    """SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_r,
+       round(quantile_cont(value, 0.95), 6) AS p95_r,
+       round(quantile_cont(value, 0.99), 6) AS p99_r,
+       round(avg(value), 6) AS mean_r
+FROM events GROUP BY event_type""",
+)
+def events_value_percentiles(spark, sf_dir):
+    """A4 percentile-statistics shape (reference latency harness
+    ``measure_latency_datastores.py:268-277``) computed in-engine with
+    exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_r"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_r"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_r"),
+        F.round(F.avg("value"), 6).alias("mean_r"),
+    )
+
+
+@register(
     "events_sessions",
     """WITH d AS (
   SELECT user_id, ts, value,

@@ -48,11 +48,21 @@ def main():
     engine = QueryEngine(spark, idx)
     wand = WandEngine(spark, idx)
 
-    # pick two mid-df terms guaranteed to exist in this corpus
-    t1, t2 = [
+    # pick two mid-df terms with nonzero idf (df < N) that survive the
+    # query pipeline unchanged (stems are not always idempotent)
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.functions.tokenizer import tokenize
+
+    cands = [
         r["term"]
-        for r in engine._dictionary.orderBy(F_desc_df()).limit(2).collect()
+        for r in engine._dictionary.filter(F.col("df") < engine.doc_count)
+        .orderBy(F_desc_df())
+        .limit(30)
+        .collect()
     ]
+    stable = [t for t in cands if tokenize(t) == [t]]
+    t1, t2 = stable[0], stable[1]
     print(f"# demo terms: {t1!r} {t2!r}")
 
     print("=" * 70, "\n## pruned postings scan (expect PartitionFilters on bucket,")
