@@ -532,6 +532,38 @@ def engine_phrase(spark, sf_dir):
     )
 
 
+@register("engine_tfidf_topk", _bm25_sql(Q1_TERMS, k=10, method="tfidf"))
+def engine_tfidf_topk(spark, sf_dir):
+    """TF-IDF variant served from the real index (R3)."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.score_plan(" ".join(Q1_TERMS), method="tfidf")
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+def _batch_oracle_sql() -> str:
+    q1 = _bm25_sql(Q1_TERMS, k=10)
+    q2 = _bm25_sql(Q2_TERMS, k=10)
+    return f"""SELECT 0 AS qid, doc_id, score_r FROM ({q1})
+UNION ALL
+SELECT 1 AS qid, doc_id, score_r FROM ({q2})"""
+
+
+@register("engine_batch_bm25", _batch_oracle_sql())
+def engine_batch_bm25(spark, sf_dir):
+    """The batch multi-query path (one Spark job scores BOTH queries;
+    shuffle bounded by candidate postings, not query count) — results
+    must equal the per-query oracles."""
+    eng = _engine(spark, sf_dir)
+    out = eng.batch_ranked([" ".join(Q1_TERMS), " ".join(Q2_TERMS)], k=10)
+    rows = []
+    for qid, q in enumerate(out):
+        for r in out[q]:
+            rows.append((qid, r["doc_id"], round(r["score"], 6)))
+    return spark.createDataFrame(rows, "qid int, doc_id long, score_r double")
+
+
 @register(
     "merge_dictionary",
     f"""WITH {_TOK_CTE}
@@ -746,6 +778,42 @@ def embed_cosine_topk(spark, sf_dir):
         .select("vec_id", F.round(cos, 6).alias("cos_r"))
         .orderBy(F.col("cos_r").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.42 — the
+    synthetic embeddings have no planted dups, so the threshold sits
+    just under the max observed similarity to yield a non-trivial pair
+    set).  Array-native dot product via zip_with/aggregate — no explode,
+    no UDF; at scale the self-join is replaced by the LSH/IVF candidate
+    paths in operators/similarity.py."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b_ = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b_, F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.42)
+        .select("a", "b", F.round("cos", 6).alias("cos_r"))
     )
 
 
