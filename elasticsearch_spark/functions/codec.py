@@ -178,18 +178,42 @@ def zlib_delta_decode(data: bytes) -> List[int]:
 
 # ------------------------------------------------------------- block layout
 
-def encode_block(doc_ids, tfs, doc_lens) -> tuple[bytes, bytes, bytes]:
-    """One posting block -> (doc_gap_blob, tf_blob, doc_len_blob)."""
-    return delta_encode(doc_ids), vbyte_encode(tfs), vbyte_encode(doc_lens)
+def encode_block(doc_ids, tfs, doc_lens, codec: str = "vbyte") -> tuple[bytes, bytes, bytes]:
+    """One posting block -> (doc_gap_blob, tf_blob, doc_len_blob).
+
+    ``codec='vbyte'`` is the reference z=1 layout (delta + VByte);
+    ``codec='zlib'`` the z=2 layout (delta + zlib level 9 for doc ids,
+    plain zlib level 6 for the tf/len streams) — both decode to
+    identical postings (``verify_compression.py:82-105``).  z=2 packs
+    uint32 like the reference, so it requires doc_id < 2^32 (z=1 is the
+    64-bit-safe default for the 10^12-doc regime)."""
+    if codec == "vbyte":
+        return delta_encode(doc_ids), vbyte_encode(tfs), vbyte_encode(doc_lens)
+    if codec == "zlib":
+        return (
+            zlib_delta_encode(doc_ids),
+            zlib_encode(tfs),
+            zlib_encode(doc_lens),
+        )
+    raise ValueError(f"unknown codec {codec!r}")
 
 
-def decode_block(doc_blob: bytes, tf_blob: bytes, len_blob: bytes):
+def decode_block(doc_blob: bytes, tf_blob: bytes, len_blob: bytes,
+                 codec: str = "vbyte"):
     """-> (doc_ids, tfs, doc_lens) as int64 numpy arrays."""
-    return (
-        delta_decode_np(doc_blob),
-        vbyte_decode_np(tf_blob),
-        vbyte_decode_np(len_blob),
-    )
+    if codec == "vbyte":
+        return (
+            delta_decode_np(doc_blob),
+            vbyte_decode_np(tf_blob),
+            vbyte_decode_np(len_blob),
+        )
+    if codec == "zlib":
+        return (
+            np.asarray(zlib_delta_decode(doc_blob), dtype=np.int64),
+            np.asarray(zlib_decode(tf_blob), dtype=np.int64),
+            np.asarray(zlib_decode(len_blob), dtype=np.int64),
+        )
+    raise ValueError(f"unknown codec {codec!r}")
 
 
 def bm25_impact(tfs: np.ndarray, doc_lens: np.ndarray, avg_doc_len: float,

@@ -71,6 +71,8 @@ class IndexConfig:
                                    # (explicit head-term skew handling; Zipf head
                                    # terms make single-bucket partitions unbalanced
                                    # at scale even after tf pre-aggregation)
+    codec: str = "vbyte"           # posting-run codec: "vbyte" (z=1, 64-bit safe)
+                                   # or "zlib" (z=2 comparator, uint32 doc ids)
 
 
 BLOCK_SCHEMA = T.StructType(
@@ -463,6 +465,8 @@ class IndexBuilder:
         )
         out_cols = [f.name for f in out_schema.fields]
 
+        codec_name = cfg.codec
+
         def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(key[0])
             pdf = pdf.sort_values("doc_id")
@@ -471,7 +475,9 @@ class IndexBuilder:
                 doc_ids = grp["doc_id"].to_numpy()
                 tfs = grp["tf"].to_numpy()
                 lens = grp["doc_len"].to_numpy()
-                doc_blob, tf_blob, len_blob = codec.encode_block(doc_ids, tfs, lens)
+                doc_blob, tf_blob, len_blob = codec.encode_block(
+                    doc_ids, tfs, lens, codec_name
+                )
                 imp = codec.bm25_impact(tfs, lens, avg_doc_len, k1, b)
                 out.append(
                     (

@@ -48,7 +48,7 @@ RESULT_SCHEMA = T.StructType(
 
 
 def _make_kernel(weights: Dict[str, float], avg_doc_len: float, k1: float, b: float,
-                 range_bits: int, k: int):
+                 range_bits: int, k: int, codec_name: str = "vbyte"):
     """Build the per-range scoring kernel closure (pickled to executors)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -65,7 +65,7 @@ def _make_kernel(weights: Dict[str, float], avg_doc_len: float, k1: float, b: fl
             if not w:
                 continue
             doc_ids, tfs, lens = codec.decode_block(
-                row.doc_blob, row.tf_blob, row.len_blob
+                row.doc_blob, row.tf_blob, row.len_blob, codec_name
             )
             ok = lens > 0
             imp = codec.bm25_impact(tfs[ok], lens[ok], avg_doc_len, k1, b)
@@ -95,6 +95,7 @@ class WandEngine:
         self.k1 = cfg.get("k1", 1.2)
         self.b = cfg.get("b", 0.75)
         self.pretokenized = cfg.get("pretokenized", False)
+        self.codec = cfg.get("codec", "vbyte")
         self.avg_doc_len = self.stats["avg_doc_len"]
         self._blocks = self.spark.read.parquet(os.path.join(index_dir, "blocks"))
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
@@ -147,7 +148,8 @@ class WandEngine:
         n_ranges_max = (max(self.stats["doc_count"] - 1, 0) >> self.range_bits) + 1
         if n_ranges_max <= self.SINGLE_PHASE_RANGES:
             kernel = _make_kernel(
-                weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k
+                weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k,
+                self.codec,
             )
             scored = blocks.groupBy("range_id").applyInPandas(
                 lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
@@ -169,7 +171,8 @@ class WandEngine:
             return empty
 
         kernel = _make_kernel(
-            weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k
+            weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k,
+            self.codec,
         )
 
         # phase 1: exact threshold from the best range

@@ -80,3 +80,53 @@ def test_wand_empty_query(spark, index_dir):
     wand = WandEngine(spark, index_dir)
     assert wand.topk("the and of", k=10)["results"] == []
     assert wand.topk("notindexedterm", k=10)["results"] == []
+
+
+@pytest.fixture(scope="module")
+def zlib_index_dir(spark, tmp_index_root):
+    """Same corpus, z=2 (zlib) posting-run codec."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    corpus = spark.createDataFrame(corpus_rows(N_DOCS), schema)
+    d = os.path.join(tmp_index_root, "wand_idx_zlib")
+    IndexBuilder(
+        spark, d, IndexConfig(n_buckets=8, doc_range_bits=5, codec="zlib")
+    ).build(corpus)
+    return d
+
+
+@pytest.mark.parametrize("query", QUERIES[:3])
+def test_zlib_codec_rank_identity(spark, zlib_index_dir, oracle_index, query):
+    """z=2 index answers rank-identically to the oracle (and hence to
+    the z=1 index) — verify_compression's cross-codec agreement at the
+    whole-engine level."""
+    wand = WandEngine(spark, zlib_index_dir)
+    got = wand.topk(query, k=10)
+    want = oracle_index.query(query, k=10)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], query
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_zlib_blocks_decode(spark, zlib_index_dir, oracle_index):
+    from elasticsearch_spark.functions.codec import decode_block
+
+    blocks = spark.read.parquet(os.path.join(zlib_index_dir, "blocks")).collect()
+    got = {}
+    for r in blocks:
+        d, t, _l = decode_block(r["doc_blob"], r["tf_blob"], r["len_blob"], "zlib")
+        got.setdefault(r["term"], []).extend(zip(d.tolist(), t.tolist()))
+    assert len(got) == len(oracle_index.postings)
+    for term, plist in oracle_index.postings.items():
+        assert sorted(got[term]) == plist, term
