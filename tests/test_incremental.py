@@ -126,3 +126,35 @@ def test_salted_build_identical_index(spark, corpora, tmp_index_root):
     ps = QueryEngine(spark, plain_dir).stats
     ss = QueryEngine(spark, salted_dir).stats
     assert (ps["n_postings"], ps["n_terms"]) == (ss["n_postings"], ss["n_terms"])
+
+
+def test_two_sequential_updates_match_rebuild(spark, tmp_index_root):
+    """Repeated update_index (add, then add+remove) keeps the index
+    query-equivalent to a one-shot rebuild of the final corpus."""
+    rows = corpus_rows(260)
+    a = spark.createDataFrame(rows[:160], INPUT_SCHEMA)
+    b = spark.createDataFrame(rows[160:210], INPUT_SCHEMA)
+    c = spark.createDataFrame(rows[210:], INPUT_SCHEMA)
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6)
+
+    inc_dir = os.path.join(tmp_index_root, "inc2")
+    bld = IndexBuilder(spark, inc_dir, cfg)
+    bld.build(a)
+    bld.update_index(add=b)
+    removed = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(inc_dir, "docs"))
+        .orderBy("doc_id").limit(5).collect()
+    ]
+    m = bld.update_index(add=c, remove_urls=removed)
+    assert m["finalized"] and len(m["segments"]) == 3
+
+    target = (
+        a.unionByName(b).unionByName(c).filter(~F.col("url").isin(removed))
+    )
+    rb_dir = os.path.join(tmp_index_root, "rebuild2")
+    IndexBuilder(spark, rb_dir, cfg).build(target)
+
+    assert _postings_by_url(spark, inc_dir) == _postings_by_url(spark, rb_dir)
+    for q in QUERIES:
+        assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
