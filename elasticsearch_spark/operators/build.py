@@ -468,24 +468,32 @@ class IndexBuilder:
         codec_name = cfg.codec
 
         def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(key[0])
-            pdf = pdf.sort_values("doc_id")
+            # group key is (bucket, range_id) -> range_id constant here;
+            # term runs found by numpy boundary detection on the sorted
+            # frame (no per-term pandas groupby slicing)
+            bucket, range_id = int(key[0]), int(key[1])
+            pdf = pdf.sort_values(["term", "doc_id"])
+            import numpy as np
+
+            terms = pdf["term"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            lens = pdf["doc_len"].to_numpy()
+            change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(terms)]))
             out = []
-            for (term, range_id), grp in pdf.groupby(["term", "range_id"], sort=False):
-                doc_ids = grp["doc_id"].to_numpy()
-                tfs = grp["tf"].to_numpy()
-                lens = grp["doc_len"].to_numpy()
-                doc_blob, tf_blob, len_blob = codec.encode_block(
-                    doc_ids, tfs, lens, codec_name
-                )
-                imp = codec.bm25_impact(tfs, lens, avg_doc_len, k1, b)
+            for s, e in zip(starts, ends):
+                d, t, l = doc_ids[s:e], tfs[s:e], lens[s:e]
+                doc_blob, tf_blob, len_blob = codec.encode_block(d, t, l, codec_name)
+                imp = codec.bm25_impact(t, l, avg_doc_len, k1, b)
                 out.append(
                     (
-                        term,
-                        int(range_id),
-                        len(doc_ids),
-                        int(doc_ids[0]),
-                        int(doc_ids[-1]),
+                        terms[s],
+                        range_id,
+                        int(e - s),
+                        int(d[0]),
+                        int(d[-1]),
                         float(imp.max()),
                         doc_blob,
                         tf_blob,
