@@ -10,8 +10,8 @@ scoring:
            idf · query-term multiplicity).  Runs entirely on block
            metadata columns — the blobs are never read (parquet column
            pruning).
-  phase 1  exact scoring kernel on the single highest-UB range ->
-           initial threshold θ0 = k-th best score there.
+  phase 1  exact scoring kernel on the top-S highest-UB ranges ->
+           initial threshold θ0 = k-th best score among them.
   phase 2  kernel on every range with UB ≥ θ0 (ranges below θ0 cannot
            place a doc in the top-k: UB is a per-doc upper bound), then
            global (score desc, doc_id asc) limit k.
@@ -132,6 +132,8 @@ class WandEngine:
     # scheduling than it saves in decode work — run the kernel once over
     # every candidate range (still partition/term-pruned)
     SINGLE_PHASE_RANGES = 256
+    # how many top-UB ranges seed the phase-1 threshold
+    SEED_RANGES = 4
 
     def topk_df(self, query: str, k: int = 10) -> DataFrame:
         weights = self._weights(query)
@@ -166,8 +168,14 @@ class WandEngine:
             .groupBy("range_id")
             .agg(F.sum("ub").alias("ub"))
         )
-        best = range_ub.orderBy(F.col("ub").desc()).limit(1).collect()
-        if not best:
+        # seed with the top-S UB ranges (not just 1): the tighter theta0
+        # costs nothing extra — still one kernel job — and shrinks the
+        # phase-2 survivor set
+        seed_rids = [
+            r["range_id"]
+            for r in range_ub.orderBy(F.col("ub").desc()).limit(self.SEED_RANGES).collect()
+        ]
+        if not seed_rids:
             return empty
 
         kernel = _make_kernel(
@@ -175,10 +183,9 @@ class WandEngine:
             self.codec,
         )
 
-        # phase 1: exact threshold from the best range
-        best_rid = best[0]["range_id"]
+        # phase 1: exact threshold from the seed ranges
         seed = (
-            blocks.filter(F.col("range_id") == best_rid)
+            blocks.filter(F.col("range_id").isin(seed_rids))
             .groupBy("range_id")
             .applyInPandas(lambda pdf: kernel(pdf), schema=RESULT_SCHEMA)
             .orderBy(F.col("score").desc(), F.col("doc_id"))

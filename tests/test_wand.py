@@ -130,3 +130,19 @@ def test_zlib_blocks_decode(spark, zlib_index_dir, oracle_index):
     assert len(got) == len(oracle_index.postings)
     for term, plist in oracle_index.postings.items():
         assert sorted(got[term]) == plist, term
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_three_phase_path_rank_identity(spark, index_dir, oracle_index, query):
+    """Force the 3-phase UB-pruned path (the small-corpus heuristic
+    would normally take the single-phase shortcut) — must still be
+    rank-identical to the oracle."""
+    wand = WandEngine(spark, index_dir)
+    wand.SINGLE_PHASE_RANGES = 0  # instance override
+    got = wand.topk(query, k=10)
+    want = oracle_index.query(query, k=10)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], query
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
