@@ -863,6 +863,28 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "binary_metadata",
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5,
+       substr(text, 1, 8) AS head
+FROM documents""",
+)
+def binary_metadata(spark, sf_dir):
+    """Opaque-binary-column plumbing (multimodal data model): treat the
+    payload as bytes, compute typed metadata (size, content hash, magic
+    prefix) — the schema/batching shape used by operators/multimodal.py
+    for image/audio blobs."""
+    d = _docs(spark, sf_dir, lang=None)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.substring(F.col("text"), 1, 8).alias("head"),
+    )
+
+
+@register(
     "token_count",
     r"""SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS ws_tokens,
