@@ -203,7 +203,14 @@ class WandEngine:
         return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
     def topk(self, query: str, k: int = 10) -> dict:
-        rows = self.topk_df(query, k).collect()
+        # AQE off for the small interactive job (see QueryEngine._interactive)
+        key = "spark.sql.adaptive.enabled"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "false")
+        try:
+            rows = self.topk_df(query, k).collect()
+        finally:
+            self.spark.conf.set(key, prev)
         return {
             "query": query,
             "total_hits": None,  # WAND prunes; exact count needs the TAAT plan
