@@ -47,7 +47,7 @@ from dataclasses import asdict, dataclass, field
 from typing import Iterator, List, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -257,11 +257,17 @@ class IndexBuilder:
         cfg = self.config
         t0 = time.time()
         docs_path = self._path("segments", seg_name, "docs")
-        docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(docs_path)
-        row = self.spark.read.parquet(docs_path).agg(
-            F.count("*").alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_docs, sum_len = row["n"], row["s"] or 0
+        # Observation collects the stats DURING the write — no read-back
+        # job (these per-stage jobs are the fixed residue that limits
+        # small-sample scaling efficiency; see BENCH/BASELINE.md §4)
+        obs_docs = Observation()
+        (
+            docs.select("doc_id", "url", "doc_len")
+            .observe(obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        n_docs, sum_len = obs_docs.get["n"], obs_docs.get["s"] or 0
         t1 = time.time()
         self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
 
@@ -313,8 +319,14 @@ class IndexBuilder:
             writer = postings.repartition(cfg.n_buckets, "bucket").sortWithinPartitions(
                 "bucket", "term", "doc_id"
             )
-        writer.write.mode("overwrite").partitionBy("bucket").parquet(post_path)
-        n_postings = self.spark.read.parquet(post_path).count()
+        obs_post = Observation()
+        (
+            writer.observe(obs_post, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(post_path)
+        )
+        n_postings = obs_post.get["n"]
         t2 = time.time()
         self._record(f"{seg_name}/postings", t2 - t1, docs=n_docs, postings=n_postings)
         return {
@@ -401,14 +413,16 @@ class IndexBuilder:
             )
         )
         dict_path = self._path("dictionary")
+        obs_dict = Observation()
         (
             dictionary.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("bucket", "term")
+            .observe(obs_dict, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(dict_path)
         )
-        n_terms = self.spark.read.parquet(dict_path).count()
+        n_terms = obs_dict.get["n"]
         t2 = time.time()
 
         # Docs table (merged).
@@ -510,11 +524,14 @@ class IndexBuilder:
             .applyInPandas(encode_group, schema=out_schema)
         )
         blocks_path = self._path("blocks")
+        obs_blocks = Observation()
         (
-            blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+            blocks.observe(obs_blocks, F.sum("n").alias("total"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(blocks_path)
         )
-        written = self.spark.read.parquet(blocks_path)
-        return written.agg(F.sum("n")).collect()[0][0] or 0
+        return obs_blocks.get["total"] or 0
 
     # --------------------------------------------------------------- main
     def build(self, raw: DataFrame, max_segments: Optional[int] = None) -> dict:
