@@ -621,12 +621,20 @@ class IndexBuilder:
         if add is not None:
             next_id = manifest.get("next_doc_id")
             if next_id is None:
-                next_id = (
+                # The docs table is tombstone-filtered, so its max can sit
+                # BELOW removed ids; a new doc given a tombstoned id would
+                # be silently deleted by finalize's anti-join.  Advance
+                # past both the alive max and the tombstone max.
+                alive_max = (
                     self.spark.read.parquet(self._path("docs"))
                     .agg(F.max("doc_id"))
                     .collect()[0][0]
-                    + 1
                 )
+                alive_max = -1 if alive_max is None else int(alive_max)
+                tomb_max = max(
+                    (int(t) for t in manifest.get("tombstones", [])), default=-1
+                )
+                next_id = max(alive_max, tomb_max) + 1
             if "url" in add.columns:
                 # fresh ids by url order, offset past the existing range
                 new_docs = self.prepare_docs(add.drop("doc_id")).withColumn(

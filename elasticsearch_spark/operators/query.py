@@ -48,6 +48,10 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._load()
+
+    def _load(self) -> None:
+        index_dir = self.index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         cfg = self.stats["config"]
@@ -64,6 +68,24 @@ class QueryEngine:
         # looked up once per engine lifetime; misses cached as 0.0 so an
         # unindexed term never re-queries the dictionary
         self._idf_cache: Dict[str, float] = {}
+        try:
+            self._manifest_mtime = os.path.getmtime(
+                os.path.join(index_dir, "manifest.json")
+            )
+        except OSError:
+            self._manifest_mtime = None
+
+    def _refresh_if_stale(self) -> None:
+        """Invalidate caches (idf memo, stats, cached file listings) when
+        the index was rebuilt/updated under a live engine — keyed on the
+        manifest mtime (update_index rewrites it last), one os.stat per
+        query."""
+        try:
+            m = os.path.getmtime(os.path.join(self.index_dir, "manifest.json"))
+        except OSError:
+            return
+        if m != self._manifest_mtime:
+            self._load()
 
     # ---------------------------------------------------------------- util
     @contextmanager
@@ -71,14 +93,12 @@ class QueryEngine:
         """Disable AQE for a single small query action: adaptive stage
         materialization costs ~30-40% latency on jobs whose shuffles are
         a few KB (measured p50 97->74ms, p95 178->103ms).  Build and
-        batch jobs keep AQE (skew splitting, coalescing)."""
-        key = "spark.sql.adaptive.enabled"
-        prev = self.spark.conf.get(key)
-        self.spark.conf.set(key, "false")
-        try:
+        batch jobs keep AQE (skew splitting, coalescing).  Reentrant and
+        thread-safe via the session-level depth counter."""
+        from ..session import interactive_aqe_off
+
+        with interactive_aqe_off(self.spark):
             yield
-        finally:
-            self.spark.conf.set(key, prev)
 
     def _terms(self, query: str) -> List[str]:
         if self.pretokenized:
@@ -95,6 +115,7 @@ class QueryEngine:
     def term_idf(self, terms: Sequence[str]) -> Dict[str, float]:
         """Driver-side slice of the broadcast dictionary: term -> idf,
         memoized across queries (the reference's idf_cache)."""
+        self._refresh_if_stale()
         missing = sorted({t for t in terms if t not in self._idf_cache})
         if missing:
             buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
@@ -268,6 +289,7 @@ class QueryEngine:
         over processed-token positions (operators/phrase.py)."""
         from .phrase import phrase_match
 
+        self._refresh_if_stale()
         if not self.stats["config"].get("positional"):
             raise ValueError("index was not built with positional=True")
         terms = self._terms(phrase)
@@ -311,6 +333,8 @@ class QueryEngine:
     def boolean_plan(self, query: str) -> DataFrame:
         """RPN -> DataFrame set-algebra plan over doc_ids (Q1-Q4)."""
         from .boolean import evaluate_rpn_df
+
+        self._refresh_if_stale()
 
         rpn = to_rpn(
             preprocess_boolean_query(query, stem_tokens=not self.pretokenized)

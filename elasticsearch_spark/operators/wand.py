@@ -87,6 +87,10 @@ class WandEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._load()
+
+    def _load(self) -> None:
+        index_dir = self.index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         cfg = self.stats["config"]
@@ -100,6 +104,22 @@ class WandEngine:
         self._blocks = self.spark.read.parquet(os.path.join(index_dir, "blocks"))
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._idf_cache: Dict[str, float] = {}  # B6 idf cache (misses as 0.0)
+        try:
+            self._manifest_mtime = os.path.getmtime(
+                os.path.join(index_dir, "manifest.json")
+            )
+        except OSError:
+            self._manifest_mtime = None
+
+    def _refresh_if_stale(self) -> None:
+        """Drop idf memo + stats + cached file listings when the index
+        changed on disk (see QueryEngine._refresh_if_stale)."""
+        try:
+            m = os.path.getmtime(os.path.join(self.index_dir, "manifest.json"))
+        except OSError:
+            return
+        if m != self._manifest_mtime:
+            self._load()
 
     def _terms(self, query: str) -> List[str]:
         return query.split() if self.pretokenized else preprocess_query(query)
@@ -107,6 +127,7 @@ class WandEngine:
     def _weights(self, query: str) -> Dict[str, float]:
         """term -> idf * multiplicity (0-idf terms dropped, like the
         reference); dictionary lookups memoized across queries."""
+        self._refresh_if_stale()
         terms = self._terms(query)
         counts = Counter(terms)
         missing = sorted(t for t in counts if t not in self._idf_cache)
@@ -204,13 +225,10 @@ class WandEngine:
 
     def topk(self, query: str, k: int = 10) -> dict:
         # AQE off for the small interactive job (see QueryEngine._interactive)
-        key = "spark.sql.adaptive.enabled"
-        prev = self.spark.conf.get(key)
-        self.spark.conf.set(key, "false")
-        try:
+        from ..session import interactive_aqe_off
+
+        with interactive_aqe_off(self.spark):
             rows = self.topk_df(query, k).collect()
-        finally:
-            self.spark.conf.set(key, prev)
         return {
             "query": query,
             "total_hits": None,  # WAND prunes; exact count needs the TAAT plan

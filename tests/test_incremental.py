@@ -87,6 +87,51 @@ def test_update_add_and_remove_matches_rebuild(spark, corpora, tmp_index_root):
         assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
 
 
+def test_remove_max_id_then_add_matches_rebuild(spark, tmp_index_root):
+    """Regression: removing the highest-id doc(s) then adding must not
+    recycle tombstoned doc_ids (which finalize's anti-join would silently
+    delete).  next_doc_id must advance past tombstones."""
+    rows = corpus_rows(240)
+    base = spark.createDataFrame(rows[:200], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[200:], INPUT_SCHEMA)
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6)
+
+    inc_dir = os.path.join(tmp_index_root, "inc_maxid")
+    bld = IndexBuilder(spark, inc_dir, cfg)
+    bld.build(base)
+    # remove the HIGHEST-id urls (the uncovered direction)
+    removed = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(inc_dir, "docs"))
+        .orderBy(F.col("doc_id").desc())
+        .limit(3)
+        .collect()
+    ]
+    bld.update_index(remove_urls=removed)
+    n_before = QueryEngine(spark, inc_dir).stats["doc_count"]
+    # engine created BEFORE the next update: its idf cache + stats must
+    # invalidate on the manifest mtime change (staleness regression)
+    live = QueryEngine(spark, inc_dir)
+    live.ranked(QUERIES[0], k=10)
+    # second update: add fresh docs — every indexable one must survive
+    m = bld.update_index(add=extra)
+    assert m["finalized"]
+    fresh = QueryEngine(spark, inc_dir)
+    for q in QUERIES:
+        assert live.ranked(q, k=10) == fresh.ranked(q, k=10), q
+    added_stats = m["segments"][sorted(m["segments"])[-1]]
+    assert QueryEngine(spark, inc_dir).stats["doc_count"] == (
+        n_before + added_stats["n_docs"]
+    )
+
+    target = base.filter(~F.col("url").isin(removed)).unionByName(extra)
+    rb_dir = os.path.join(tmp_index_root, "rebuild_maxid")
+    IndexBuilder(spark, rb_dir, cfg).build(target)
+    assert _postings_by_url(spark, inc_dir) == _postings_by_url(spark, rb_dir)
+    for q in QUERIES:
+        assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
+
+
 def test_update_requires_existing_index(spark, corpora, tmp_index_root):
     base, _ = corpora
     b = IndexBuilder(spark, os.path.join(tmp_index_root, "nonexistent"))
