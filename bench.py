@@ -80,12 +80,18 @@ HEADLINE = [
 
 
 def ensure_corpus(n_docs: int) -> str:
-    from elasticsearch_spark.sources.webtext import write_parquet
+    from elasticsearch_spark.sources.webtext import query_vocab, write_parquet
 
-    path = f"/tmp/es_spark_bench_corpus_{n_docs}.parquet"
+    # mix_words: blend the queryset vocabulary into the corpus so the
+    # 100 reference queries hit real postings — without it every ranked
+    # query returns an empty set and the "latency" measured is just the
+    # dictionary-lookup job (the r01 numbers had this flaw).  `qv` in
+    # the cache name invalidates the old vocab-free corpora.
+    path = f"/tmp/es_spark_bench_corpus_qv_{n_docs}.parquet"
     if not os.path.exists(path):
         t0 = time.time()
-        write_parquet(path, n_docs)
+        pool = query_vocab(os.path.join(REPO, "fixtures", "queryset.json"))
+        write_parquet(path, n_docs, mix_words=pool)
         print(f"# corpus gen {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
     return path
 
@@ -143,7 +149,7 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
     for q in queries:
         t = time.time()
         if _is_boolean(q):
-            engine.boolean(q)
+            engine.boolean_topk(q, k=10)  # bounded path (the production shape)
         else:
             engine.ranked(q, k=10, with_total_hits=False)
         lat.append(time.time() - t)

@@ -29,7 +29,7 @@ from contextlib import contextmanager
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scoring import B_DEFAULT, K1_DEFAULT
@@ -40,6 +40,39 @@ from ..functions.tokenizer import (
 )
 from ..functions.udfs import term_bucket
 from ..oracle.engine import to_rpn
+
+
+def dictionary_point_lookup(index_dir: str, terms: Sequence[str],
+                            n_buckets: int, columns=("term", "idf")):
+    """Driver-side point lookup of dictionary rows WITHOUT a Spark job.
+
+    A term lookup is a point read of a tiny slice of the one index
+    table that is ~|vocab| rows; scheduling a distributed job for it
+    costs ~100 ms of pure overhead per cold query.  Instead the driver
+    reads the parquet directly via pyarrow dataset: hive partition
+    pruning on ``bucket=`` (the same crc32 bucketing as the build) plus
+    a ``term IN`` predicate against row-group stats (the dictionary is
+    written sorted by term within each bucket, so row-group min/max
+    prune tightly).  Works on any pyarrow-readable filesystem (local,
+    HDFS, s3); returns None if the read fails so callers fall back to
+    the Spark plan."""
+    try:
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(
+            os.path.join(index_dir, "dictionary"), partitioning="hive"
+        )
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
+            list(terms)
+        )
+        tbl = dataset.to_table(columns=list(columns), filter=expr)
+        return {
+            row[0]: row[1:] if len(columns) > 2 else row[1]
+            for row in zip(*(tbl[c].to_pylist() for c in columns))
+        }
+    except Exception:
+        return None
 
 
 class QueryEngine:
@@ -118,15 +151,17 @@ class QueryEngine:
         self._refresh_if_stale()
         missing = sorted({t for t in terms if t not in self._idf_cache})
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            rows = (
-                self._dictionary.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+            found = dictionary_point_lookup(self.index_dir, missing, self.n_buckets)
+            if found is None:  # non-arrow filesystem: Spark job fallback
+                buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+                rows = (
+                    self._dictionary.filter(
+                        F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                    )
+                    .select("term", "idf")
+                    .collect()
                 )
-                .select("term", "idf")
-                .collect()
-            )
-            found = {r["term"]: r["idf"] for r in rows}
+                found = {r["term"]: r["idf"] for r in rows}
             for t in missing:
                 self._idf_cache[t] = found.get(t, 0.0)
         # unindexed terms carry 0.0 — callers treat 0-idf and missing
@@ -255,17 +290,19 @@ class QueryEngine:
         plan = self.score_plan(query, method)
         if plan is None:
             return {"query": query, "total_hits": 0, "results": []}
-        plan = plan.persist()
-        try:
-            with self._interactive():
-                top = (
-                    plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                    .limit(k)
-                    .collect()
-                )
-                total = plan.count()
-        finally:
-            plan.unpersist()
+        # total_hits rides the SAME top-k job as an Observation on the
+        # aggregated (doc_id, score) rows — TakeOrderedAndProject
+        # consumes every child row, so the count is exact and the old
+        # persist + second count() action is gone (2 jobs -> 1).
+        obs = Observation()
+        with self._interactive():
+            top = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"])
         return {
             "query": query,
             "total_hits": total,
@@ -311,16 +348,18 @@ class QueryEngine:
         """Reference result shape; phrase hits ranked by occurrence
         count then doc_id (no BM25 — the grammar's PHRASE op is set-
         valued, README.md:39-48)."""
-        plan = self.phrase_plan(phrase).persist()
-        try:
+        # same single-job Observation trick as ranked(): count rides the
+        # top-k action, no persist + count double action
+        plan = self.phrase_plan(phrase)
+        obs = Observation()
+        with self._interactive():
             top = (
-                plan.orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
                 .limit(k)
                 .collect()
             )
-            total = plan.count()
-        finally:
-            plan.unpersist()
+            total = int(obs.get["n"])
         return {
             "query": phrase,
             "total_hits": total,
@@ -346,7 +385,34 @@ class QueryEngine:
         )
 
     def boolean(self, query: str) -> List[int]:
+        """EXHAUSTIVE result set collected to the driver — oracle-parity
+        testing only.  Production callers (router, bench) use
+        :meth:`boolean_topk`: `boolean_or` / `NOT rare_term` results are
+        corpus-sized, an unbounded collect at 10^12 docs."""
         return sorted(r["doc_id"] for r in self.boolean_plan(query).collect())
+
+    def boolean_topk(self, query: str, k: int = 10) -> dict:
+        """Bounded boolean query: ONE job computes the exact hit count
+        (an ``Observation`` on the set plan — TakeOrdered consumes every
+        child row, so the count is total) and collects only the k
+        smallest doc_ids.  Nothing corpus-sized reaches the driver.
+        Matches the reference's truncate-to-k result shape
+        (``selfindex_i0_no_optimization.py:187-203``)."""
+        plan = self.boolean_plan(query)
+        obs = Observation()
+        with self._interactive():
+            rows = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy("doc_id")
+                .limit(k)
+                .collect()
+            )
+            total = obs.get["n"]
+        return {
+            "query": query,
+            "total_hits": int(total),
+            "results": [{"doc_id": r["doc_id"], "score": 1.0} for r in rows],
+        }
 
     # --------------------------------------------------------------- batch
     def batch_ranked(self, queries: Sequence[str], k: int = 10,
@@ -420,10 +486,5 @@ class QueryEngine:
         (``selfindex_i0_no_optimization.py:126-132``): boolean results
         carry score 1.0, unranked, truncated to k."""
         if is_boolean_query(query):
-            docs = self.boolean(query)
-            return {
-                "query": query,
-                "total_hits": len(docs),
-                "results": [{"doc_id": d, "score": 1.0} for d in docs[:k]],
-            }
+            return self.boolean_topk(query, k)
         return self.ranked(query, k, method)

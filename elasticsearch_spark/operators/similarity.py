@@ -15,7 +15,7 @@ candidate set, so scores are exact and only recall is approximate.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -92,9 +92,16 @@ def kmeans_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
                      seed: int = 7) -> List[List[float]]:
     """Deterministic coarse quantizer: numpy k-means on a driver-side
     sample (bounded memory — the sample, not the table, reaches the
-    driver).  Centroids are broadcast back into column expressions."""
+    driver).  Centroids are broadcast back into column expressions.
+
+    The sample is an UNBIASED content-hash sample — ``limit()`` would
+    take whole leading partitions (often one file = one time range or
+    one source shard), skewing the centroids; ordering by xxhash64 of
+    the vector bytes is a deterministic pseudo-random draw independent
+    of partition layout, and the TakeOrdered heap keeps it one pass."""
     rows = (
         df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
@@ -135,15 +142,23 @@ def ivf_assign(df: DataFrame, centroids: List[List[float]],
 
 def ivf_topk(df: DataFrame, query_vec: Sequence[float], centroids: List[List[float]],
              k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             assigned: Optional[DataFrame] = None) -> DataFrame:
     """IVF query: score only vectors in the ``n_probe`` cells nearest the
     query (exact cosine on candidates; recall is the only approximation).
-    At scale the cell filter is a partition prune, not a scan."""
+
+    Pass ``assigned`` — the precomputed ``(id, cell, unit)`` table, e.g.
+    ``IvfIndex.assigned`` read from a cell-partitioned parquet — so the
+    cell filter is a PARTITION PRUNE.  Without it the assignment (unit-
+    normalize + argmax over all centroids) is recomputed over the whole
+    table on every query: correct, but a full scan — on-the-fly mode is
+    for ad-hoc/one-shot use only."""
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     cents = np.asarray(centroids, dtype=np.float64)
     probe = np.argsort(-(cents @ q))[:n_probe].tolist()
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
     qlit = F.array(*[F.lit(float(x)) for x in q])
     return (
         assigned.filter(F.col("cell").isin(probe))
@@ -151,6 +166,53 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], centroids: List[List[flo
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )
+
+
+class IvfIndex:
+    """Persisted IVF-flat index: centroids in ``centroids.json``, the
+    assignment table written ``partitionBy("cell")`` so every probe is a
+    partition-pruned read of ~``n_probe/n_cells`` of the data — the
+    10^12-row shape (the on-the-fly path rescans + reassigns per query).
+    """
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        self.centroids: List[List[float]] = meta["centroids"]
+        self.n_cells = len(self.centroids)
+        self.assigned = spark.read.parquet(os.path.join(path, "assigned"))
+
+    @staticmethod
+    def build(df: DataFrame, path: str, n_cells: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_size: int = 10_000, iters: int = 10,
+              seed: int = 7) -> "IvfIndex":
+        import json
+        import os
+
+        centroids = kmeans_centroids(df, n_cells, vec_col, sample_size, iters, seed)
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        (
+            assigned.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "assigned"))
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump({"centroids": centroids, "seed": seed, "iters": iters}, f)
+        return IvfIndex(df.sparkSession, path)
+
+    def topk(self, query_vec: Sequence[float], k: int = 10,
+             n_probe: int = 4) -> DataFrame:
+        return ivf_topk(
+            None, query_vec, self.centroids, k, n_probe, assigned=self.assigned
+        )
 
 
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 4,

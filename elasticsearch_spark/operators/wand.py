@@ -132,15 +132,19 @@ class WandEngine:
         counts = Counter(terms)
         missing = sorted(t for t in counts if t not in self._idf_cache)
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            rows = (
-                self._dictionary.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+            from .query import dictionary_point_lookup
+
+            found = dictionary_point_lookup(self.index_dir, missing, self.n_buckets)
+            if found is None:  # non-arrow filesystem: Spark job fallback
+                buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+                rows = (
+                    self._dictionary.filter(
+                        F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                    )
+                    .select("term", "idf")
+                    .collect()
                 )
-                .select("term", "idf")
-                .collect()
-            )
-            found = {r["term"]: r["idf"] for r in rows}
+                found = {r["term"]: r["idf"] for r in rows}
             for t in missing:
                 self._idf_cache[t] = found.get(t, 0.0)
         return {

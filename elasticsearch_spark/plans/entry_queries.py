@@ -250,9 +250,15 @@ freq AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term)
 SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rnk FROM freq""",
 )
 def zipf_rank(spark, sf_dir):
+    """Global frequency rank WITHOUT a no-partition window (which would
+    funnel the whole vocabulary — ~5·10^8 terms at web scale — through
+    one task): range-partition + broadcast per-partition offsets
+    (operators/rank.py)."""
+    from ..operators.rank import zip_with_rank
+
     freq = _tok(spark, sf_dir).groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
-    return freq.select("term", "cnt", F.row_number().over(w).cast("long").alias("rnk"))
+    ranked = zip_with_rank(freq, [F.col("cnt").desc(), F.col("term")], "rnk")
+    return ranked.select("term", "cnt", "rnk")
 
 
 @register(

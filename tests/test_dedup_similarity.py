@@ -158,3 +158,37 @@ def test_ivf_probe_widening_recovers_recall(clustered_vectors):
     q = clustered_vectors.filter(F.col("vec_id") == 0).first()["embedding"]
     all_probe = similarity.ivf_topk(clustered_vectors, q, cents, k=45, n_probe=3)
     assert all_probe.count() == 45  # probing every cell degrades to brute force
+
+
+def test_ivf_index_persisted_probe_matches_inmemory(clustered_vectors, tmp_path):
+    """IvfIndex writes the assignment partitionBy(cell); probing the
+    persisted table must return exactly the on-the-fly results, and the
+    probe scan must be partition-pruned on cell (no full scan)."""
+    from elasticsearch_spark.operators.similarity import IvfIndex, ivf_topk
+
+    path = str(tmp_path / "ivf_idx")
+    idx = IvfIndex.build(clustered_vectors, path, n_cells=3, seed=3)
+    q = clustered_vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    got = [(r["id"], round(r["cosine"], 9)) for r in idx.topk(q, k=5, n_probe=1).collect()]
+    want = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_topk(clustered_vectors, q, idx.centroids, k=5, n_probe=1).collect()
+    ]
+    assert got == want
+
+    plan = (
+        idx.topk(q, k=5, n_probe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_index_reload(clustered_vectors, tmp_path):
+    from elasticsearch_spark.operators.similarity import IvfIndex
+
+    path = str(tmp_path / "ivf_idx2")
+    built = IvfIndex.build(clustered_vectors, path, n_cells=3, seed=3)
+    reloaded = IvfIndex(clustered_vectors.sparkSession, path)
+    assert reloaded.centroids == built.centroids
+    assert reloaded.assigned.count() == 45

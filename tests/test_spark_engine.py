@@ -125,6 +125,20 @@ def test_boolean_parity(engine, oracle_index, query):
     assert engine.boolean(query) == sorted(oracle_index.boolean_query(query))
 
 
+@pytest.mark.parametrize("query", BOOLEAN_QUERIES)
+def test_boolean_topk_bounded(engine, oracle_index, query):
+    """The production boolean path returns at most k rows (no unbounded
+    driver collect) with the EXACT total count from the same single job,
+    even for corpus-sized results like `NOT <rare>`."""
+    k = 5
+    got = engine.boolean_topk(query, k=k)
+    want = sorted(oracle_index.boolean_query(query))
+    assert len(got["results"]) <= k
+    assert got["total_hits"] == len(want), query
+    assert [r["doc_id"] for r in got["results"]] == want[:k], query
+    assert all(r["score"] == 1.0 for r in got["results"])
+
+
 def test_router_dispatch(engine, oracle_index):
     res = engine.query("visit AND mail")
     assert all(r["score"] == 1.0 for r in res["results"])

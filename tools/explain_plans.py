@@ -80,6 +80,16 @@ def main():
     print("=" * 70, "\n## boolean AND plan (expect join, no cartesian)\n", "=" * 70)
     engine.boolean_plan(f"{t1} AND {t2}").explain("formatted")
 
+    print("=" * 70, "\n## Zipf rank plan (expect NO single-partition Exchange:")
+    print("## rangepartitioning exchange + partitioned window only)\n", "=" * 70)
+    from elasticsearch_spark.plans.entry_queries import QUERIES as _GATE_Q
+
+    zipf_df = _GATE_Q["zipf_rank"](spark, "/root/testdata/sf0.001")
+    zipf_df.explain("formatted")
+    plan_str = zipf_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_str, "zipf_rank has a single-partition exchange"
+    print("## OK: no SinglePartition exchange in zipf_rank")
+
     print("=" * 70, "\n## WAND phase-0 metadata scan (expect blob columns absent")
     print("## from ReadSchema)\n", "=" * 70)
     from pyspark.sql import functions as F
