@@ -73,6 +73,9 @@ class IndexConfig:
                                    # at scale even after tf pre-aggregation)
     codec: str = "vbyte"           # posting-run codec: "vbyte" (z=1, 64-bit safe)
                                    # or "zlib" (z=2 comparator, uint32 doc ids)
+    store_tfidf: bool = False      # x=3 variant (B7): also persist postings with
+                                   # precomputed (tf/dl)*ln(N/df) scores
+                                   # (reference plot_c_info_type.py:64-76)
 
 
 BLOCK_SCHEMA = T.StructType(
@@ -439,6 +442,35 @@ class IndexBuilder:
             docs_all.write.mode("overwrite").parquet(docs_path)
         t3 = time.time()
 
+        # x=3 variant (B7): postings with the score precomputed at index
+        # time, idf = ln(N/df) (the reference's x=3 formula, distinct
+        # from the dictionary's ln((N+1)/(df+1))).  Join is on
+        # (bucket, term) — both sides are bucket-partitioned runs, so at
+        # scale this is a co-located bucket join, one extra O(index)
+        # pass paid only when the variant is requested.
+        if cfg.store_tfidf:
+            dict_df = self.spark.read.parquet(dict_path).select("bucket", "term", "df")
+            tfidf = (
+                postings.join(dict_df, ["bucket", "term"])
+                .filter(F.col("doc_len") > 0)
+                .select(
+                    "bucket",
+                    "term",
+                    "doc_id",
+                    (
+                        (F.col("tf").cast("double") / F.col("doc_len"))
+                        * F.log(F.lit(float(n_docs)) / F.col("df"))
+                    ).alias("score"),
+                )
+            )
+            (
+                tfidf.repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._path("tfidf"))
+            )
+
         # Compressed block-max runs per (term, doc-range).
         n_postings = self._write_blocks(postings, avg_doc_len)
         t4 = time.time()
@@ -459,7 +491,7 @@ class IndexBuilder:
             # pickle file size, plot_a_datastore.py:458-491)
             "table_bytes": {
                 t: _tree_bytes(self._path(t))
-                for t in ("postings", "blocks", "dictionary", "docs", "tokens")
+                for t in ("postings", "blocks", "dictionary", "docs", "tokens", "tfidf")
             },
         }
         with open(self._path("stats.json"), "w") as f:

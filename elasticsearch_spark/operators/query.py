@@ -101,6 +101,8 @@ class QueryEngine:
         # looked up once per engine lifetime; misses cached as 0.0 so an
         # unindexed term never re-queries the dictionary
         self._idf_cache: Dict[str, float] = {}
+        if hasattr(self, "_tfidf"):
+            del self._tfidf  # lazy re-read after index update
         try:
             self._manifest_mtime = os.path.getmtime(
                 os.path.join(index_dir, "manifest.json")
@@ -317,6 +319,41 @@ class QueryEngine:
                 F.col("doc_id"), F.lit(0.0).alias("score")
             ).limit(0)
         return plan.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # ------------------------------------------------------ x=3 variant
+    def tfidf_x3_plan(self, query: str) -> Optional[DataFrame]:
+        """Scoring plan over the x=3 precomputed-score postings (index
+        built with ``store_tfidf=True``): the per-posting score
+        ``(tf/dl)*ln(N/df)`` was computed at build time, so the query
+        plan is just pruned-scan -> sum per doc — no idf lookup, no
+        arithmetic (reference ``plot_c_info_type.py:64-76``)."""
+        self._refresh_if_stale()
+        if not self.stats["config"].get("store_tfidf"):
+            raise ValueError("index was not built with store_tfidf=True")
+        if not hasattr(self, "_tfidf"):
+            self._tfidf = self.spark.read.parquet(
+                os.path.join(self.index_dir, "tfidf")
+            )
+        terms = self._terms(query)
+        if not terms:
+            return None
+        from collections import Counter
+
+        counts = Counter(terms)
+        uniq = sorted(counts)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in uniq})
+        mult_items: list = []
+        for t in uniq:
+            mult_items += [F.lit(t), F.lit(float(counts[t]))]
+        mult_col = F.create_map(*mult_items)[F.col("term")]
+        p = self._tfidf.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+        )
+        return (
+            p.withColumn("score", F.col("score") * mult_col)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
 
     # -------------------------------------------------------------- phrase
     def phrase_plan(self, phrase: str) -> DataFrame:

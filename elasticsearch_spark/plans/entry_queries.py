@@ -478,7 +478,7 @@ def _engine(spark, sf_dir):
 
     cfg = IndexConfig(
         n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True, use_html=False,
-        positional=True,
+        positional=True, store_tfidf=True,
     )
     key = os.path.abspath(sf_dir) + repr(cfg)
     if key not in _ENGINE_CACHE:
@@ -535,6 +535,20 @@ def engine_phrase(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.phrase_plan(" ".join(PHRASE_2)).select(
         "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
+@register("engine_tfidf_x3", ORACLE_SQL["tfidf_postings_x3"])
+def engine_tfidf_x3(spark, sf_dir):
+    """B7 as a BUILD MODE: the x=3 variant index (store_tfidf=True)
+    persists postings with the score (tf/dl)*ln(N/df) precomputed at
+    index time; the gate reads the variant table for the Q1 terms and
+    must match the from-raw-text oracle exactly."""
+    eng = _engine(spark, sf_dir)
+    if not hasattr(eng, "_tfidf"):
+        eng._tfidf = spark.read.parquet(os.path.join(eng.index_dir, "tfidf"))
+    return eng._tfidf.filter(F.col("term").isin(Q1_TERMS)).select(
+        "term", "doc_id", F.round("score", 6).alias("score_r")
     )
 
 

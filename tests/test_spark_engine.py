@@ -202,3 +202,45 @@ def test_fused_plan_rank_identity(engine, oracle_index, query):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want["results"]], query
     for g, w in zip(got, want["results"]):
         assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+def test_tfidf_x3_requires_variant_index(engine):
+    with pytest.raises(ValueError):
+        engine.tfidf_x3_plan("machine learning")
+
+
+def test_tfidf_x3_variant_matches_recompute(spark, tmp_index_root):
+    """x=3 build mode (store_tfidf): persisted scores must equal
+    (tf/dl)*ln(N/df) recomputed from the plain postings + dictionary."""
+    import math
+
+    corpus = spark.createDataFrame(corpus_rows(150), INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "x3_idx")
+    b = IndexBuilder(spark, d, IndexConfig(n_buckets=4, doc_range_bits=6, store_tfidf=True))
+    m = b.build(corpus)
+    n = m["stats"]["doc_count"]
+
+    post = {
+        (r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+        for r in spark.read.parquet(os.path.join(d, "postings")).collect()
+    }
+    df_ = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(os.path.join(d, "dictionary")).collect()
+    }
+    got = {
+        (r["term"], r["doc_id"]): r["score"]
+        for r in spark.read.parquet(os.path.join(d, "tfidf")).collect()
+    }
+    assert set(got) == {k for k, (tf, dl) in post.items() if dl > 0}
+    for (term, doc), score in got.items():
+        tf, dl = post[(term, doc)]
+        want = (tf / dl) * math.log(n / df_[term])
+        assert abs(score - want) < 1e-12, (term, doc)
+
+    # the query plan over the variant table ranks by the same scores
+    eng = QueryEngine(spark, d)
+    some_term = next(iter(df_))
+    plan = eng.tfidf_x3_plan(some_term)
+    for r in plan.collect():
+        assert abs(r["score"] - got[(some_term, r["doc_id"])]) < 1e-12
