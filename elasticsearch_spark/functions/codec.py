@@ -216,6 +216,57 @@ def decode_block(doc_blob: bytes, tf_blob: bytes, len_blob: bytes,
     raise ValueError(f"unknown codec {codec!r}")
 
 
+def encode_positions(flat_positions, counts, codec: str = "vbyte") -> bytes:
+    """Position streams for a posting run -> one blob.
+
+    ``flat_positions`` is the concatenation of every posting's sorted
+    position array; ``counts`` is positions-per-posting (== the tf
+    stream, one position per occurrence — no separate count stream is
+    stored).  Layout: per posting, first position absolute then gaps
+    (delta resets at posting boundaries), VByte- or zlib-packed.
+    Fully vectorized: the boundary resets are one fancy-index write."""
+    a = np.asarray(flat_positions, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    cnts = np.asarray(counts, dtype=np.int64)
+    starts = np.zeros(cnts.size, dtype=np.int64)
+    starts[1:] = np.cumsum(cnts[:-1])
+    starts = starts[cnts > 0]
+    d = a.copy()
+    d[1:] -= a[:-1]
+    d[starts] = a[starts]
+    if codec == "vbyte":
+        return vbyte_encode(d)
+    if codec == "zlib":
+        return zlib.compress(d.astype("<u4").tobytes(), 6)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_positions(blob: bytes, counts, codec: str = "vbyte") -> np.ndarray:
+    """Inverse of :func:`encode_positions`: -> flat int64 position array
+    (split it with ``counts`` to recover per-posting arrays)."""
+    cnts = np.asarray(counts, dtype=np.int64)
+    if codec == "vbyte":
+        d = vbyte_decode_np(blob)
+    elif codec == "zlib":
+        d = (
+            np.frombuffer(zlib.decompress(blob), dtype="<u4").astype(np.int64)
+            if blob
+            else np.empty(0, dtype=np.int64)
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    if d.size == 0:
+        return d
+    c = np.cumsum(d)
+    nz = cnts[cnts > 0]
+    starts = np.zeros(nz.size, dtype=np.int64)
+    starts[1:] = np.cumsum(nz[:-1])
+    grp_base = np.zeros(nz.size, dtype=np.int64)
+    grp_base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(grp_base, nz)
+
+
 def bm25_impact(tfs: np.ndarray, doc_lens: np.ndarray, avg_doc_len: float,
                 k1: float, b: float) -> np.ndarray:
     """Per-posting BM25 partial impact (score / idf); the block max of

@@ -89,6 +89,10 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("doc_blob", T.BinaryType()),
         T.StructField("tf_blob", T.BinaryType()),
         T.StructField("len_blob", T.BinaryType()),
+        # per-posting position streams (positional indexes only; null
+        # otherwise).  Counts come from the tf stream — one position
+        # per occurrence — so no extra count stream is stored.
+        T.StructField("pos_blob", T.BinaryType()),
     ]
 )
 
@@ -512,6 +516,7 @@ class IndexBuilder:
         out_cols = [f.name for f in out_schema.fields]
 
         codec_name = cfg.codec
+        positional = cfg.positional and "positions" in postings.columns
 
         def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # group key is (bucket, range_id) -> range_id constant here;
@@ -525,6 +530,7 @@ class IndexBuilder:
             doc_ids = pdf["doc_id"].to_numpy()
             tfs = pdf["tf"].to_numpy()
             lens = pdf["doc_len"].to_numpy()
+            pos_col = pdf["positions"].to_numpy() if positional else None
             change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
@@ -532,6 +538,15 @@ class IndexBuilder:
             for s, e in zip(starts, ends):
                 d, t, l = doc_ids[s:e], tfs[s:e], lens[s:e]
                 doc_blob, tf_blob, len_blob = codec.encode_block(d, t, l, codec_name)
+                if positional:
+                    flat = (
+                        np.concatenate([np.asarray(p) for p in pos_col[s:e]])
+                        if e > s
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    pos_blob = codec.encode_positions(flat, t, codec_name)
+                else:
+                    pos_blob = None
                 imp = codec.bm25_impact(t, l, avg_doc_len, k1, b)
                 out.append(
                     (
@@ -544,13 +559,17 @@ class IndexBuilder:
                         doc_blob,
                         tf_blob,
                         len_blob,
+                        pos_blob,
                         bucket,
                     )
                 )
             return pd.DataFrame(out, columns=out_cols)
 
+        cols = ["bucket", "term", "doc_id", "tf", "doc_len"] + (
+            ["positions"] if positional else []
+        )
         blocks = (
-            postings.select("bucket", "term", "doc_id", "tf", "doc_len")
+            postings.select(*cols)
             .withColumn("range_id", F.shiftright(F.col("doc_id"), range_bits))
             .groupBy("bucket", "range_id")
             .applyInPandas(encode_group, schema=out_schema)

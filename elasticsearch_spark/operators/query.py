@@ -103,6 +103,8 @@ class QueryEngine:
         self._idf_cache: Dict[str, float] = {}
         if hasattr(self, "_tfidf"):
             del self._tfidf  # lazy re-read after index update
+        if hasattr(self, "_blocks_df"):
+            del self._blocks_df
         try:
             self._manifest_mtime = os.path.getmtime(
                 os.path.join(index_dir, "manifest.json")
@@ -356,11 +358,61 @@ class QueryEngine:
         )
 
     # -------------------------------------------------------------- phrase
+    def _positional_term_postings(self, term: str) -> DataFrame:
+        """``(doc_id, positions)`` for one term, served from the
+        COMPRESSED block layout: bucket-partition-pruned + term-predicate
+        scan of the blocks table, then an Arrow-batched kernel decodes
+        the delta-VByte doc/tf/position streams (positions split
+        per-posting by the tf counts).  Falls back to the uncompressed
+        positional postings for indexes built before pos_blob existed."""
+        blocks = self._blocks()
+        if "pos_blob" not in blocks.columns:
+            return (
+                self._pruned_postings([term])
+                .filter(F.col("term") == term)
+                .select("doc_id", "positions")
+            )
+        codec_name = self.stats["config"].get("codec", "vbyte")
+        bucket = term_bucket(term, self.n_buckets)
+        pruned = blocks.filter(
+            (F.col("bucket") == bucket) & (F.col("term") == term)
+        ).select("doc_blob", "tf_blob", "len_blob", "pos_blob")
+
+        def decode(batches):
+            import numpy as np
+            import pandas as pd
+
+            from ..functions import codec as C
+
+            for pdf in batches:
+                doc_ids: list = []
+                pos_lists: list = []
+                for r in pdf.itertuples(index=False):
+                    d, t, _l = C.decode_block(
+                        r.doc_blob, r.tf_blob, r.len_blob, codec_name
+                    )
+                    flat = C.decode_positions(r.pos_blob, t, codec_name)
+                    doc_ids.extend(d.tolist())
+                    pos_lists.extend(
+                        a.astype(np.int32) for a in np.split(flat, np.cumsum(t)[:-1])
+                    )
+                yield pd.DataFrame({"doc_id": doc_ids, "positions": pos_lists})
+
+        return pruned.mapInPandas(decode, schema="doc_id long, positions array<int>")
+
+    def _blocks(self) -> DataFrame:
+        if not hasattr(self, "_blocks_df"):
+            self._blocks_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "blocks")
+            )
+        return self._blocks_df
+
     def phrase_plan(self, phrase: str) -> DataFrame:
         """Exact-phrase match plan ``(doc_id, n_occurrences,
         start_positions)`` over the positional index (requires the index
         to be built with ``IndexConfig(positional=True)``).  Adjacency is
-        over processed-token positions (operators/phrase.py)."""
+        over processed-token positions (operators/phrase.py); position
+        streams are served from the compressed blocks."""
         from .phrase import phrase_match
 
         self._refresh_if_stale()
@@ -375,11 +427,7 @@ class QueryEngine:
                     F.array().cast("array<int>").alias("start_positions"),
                 ).limit(0)
             )
-        pruned = self._pruned_postings(sorted(set(terms)))
-        return phrase_match(
-            lambda t: pruned.filter(F.col("term") == t).select("doc_id", "positions"),
-            terms,
-        )
+        return phrase_match(self._positional_term_postings, terms)
 
     def phrase(self, phrase: str, k: int = 10) -> dict:
         """Reference result shape; phrase hits ranked by occurrence

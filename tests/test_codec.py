@@ -123,3 +123,44 @@ def test_z1_z2_cross_implementation_agreement(values):
         == zlib_delta_decode(zlib_delta_encode(postings))
         == postings
     )
+
+
+# ----------------------------------------------------- position streams
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1 << 20), min_size=1, max_size=30),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_position_stream_roundtrip(pos_lists):
+    """Per-posting position arrays -> one delta blob -> back, for both
+    codecs.  Counts come from the tf stream (len of each array)."""
+    import numpy as np
+
+    from elasticsearch_spark.functions.codec import decode_positions, encode_positions
+
+    pos_lists = [sorted(p) for p in pos_lists]
+    counts = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    for codec in ("vbyte", "zlib"):
+        blob = encode_positions(flat, counts, codec)
+        got = decode_positions(blob, counts, codec)
+        assert got.tolist() == flat.tolist(), codec
+
+
+def test_position_stream_empty_and_zero_counts():
+    import numpy as np
+
+    from elasticsearch_spark.functions.codec import decode_positions, encode_positions
+
+    assert encode_positions(np.empty(0), np.empty(0, dtype=np.int64)) == b""
+    assert decode_positions(b"", np.empty(0, dtype=np.int64)).size == 0
+    # a zero-count posting interleaved (tf can't be 0 in practice, but
+    # the split math must not break)
+    flat = np.array([3, 7, 2], dtype=np.int64)
+    counts = np.array([2, 0, 1], dtype=np.int64)
+    blob = encode_positions(flat, counts)
+    assert decode_positions(blob, counts).tolist() == [3, 7, 2]

@@ -95,3 +95,31 @@ def test_phrase_query_on_tokens_df(spark):
         for r in phrase_query(df, ["a", "b", "c"]).collect()
     }
     assert got3 == {0: [0], 1: [1]}
+
+
+def test_phrase_served_from_compressed_blocks(spark, pos_engine):
+    """The phrase path must read position streams from the block layout
+    (pos_blob present and non-null), and the block-decoded positional
+    postings must equal the uncompressed positional postings table."""
+    import numpy as np
+
+    blocks = spark.read.parquet(os.path.join(pos_engine.index_dir, "blocks"))
+    assert "pos_blob" in blocks.columns
+    assert blocks.filter(F.col("pos_blob").isNull()).count() == 0
+
+    term = (
+        pos_engine._dictionary.filter(F.col("df") > 1)
+        .orderBy(F.col("df").desc())
+        .first()["term"]
+    )
+    got = {
+        r["doc_id"]: list(r["positions"])
+        for r in pos_engine._positional_term_postings(term).collect()
+    }
+    want = {
+        r["doc_id"]: list(r["positions"])
+        for r in pos_engine._pruned_postings([term])
+        .select("doc_id", "positions")
+        .collect()
+    }
+    assert got == want and len(got) > 0
