@@ -270,11 +270,18 @@ class IndexBuilder:
         obs_docs = Observation()
         (
             docs.select("doc_id", "url", "doc_len")
-            .observe(obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
+            .observe(
+                obs_docs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("s"),
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+            )
             .write.mode("overwrite")
             .parquet(docs_path)
         )
         n_docs, sum_len = obs_docs.get["n"], obs_docs.get["s"] or 0
+        min_id, max_id = obs_docs.get["mn"], obs_docs.get["mx"]
         t1 = time.time()
         self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
 
@@ -340,6 +347,10 @@ class IndexBuilder:
             "n_docs": n_docs,
             "sum_doc_len": int(sum_len),
             "n_postings": n_postings,
+            # doc-id range: lets incremental removals scan only the
+            # segments that can contain the tombstoned ids
+            "min_doc_id": int(min_id) if min_id is not None else None,
+            "max_doc_id": int(max_id) if max_id is not None else None,
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "seconds": round(t2 - t0, 3),
         }
@@ -486,7 +497,13 @@ class IndexBuilder:
 
         stats = {
             "doc_count": n_docs,
+            "sum_doc_len": int(sum_len),
             "avg_doc_len": avg_doc_len,
+            # blocks below were encoded with this avgdl: incremental
+            # updates shift the live avgdl, and WAND scales these
+            # block-max bounds by max(1, avgdl_now/avgdl_at_encode) to
+            # stay a valid upper bound (operators/reader.py)
+            "base_avgdl_at_encode": avg_doc_len,
             "n_terms": n_terms,
             "n_postings": n_postings,
             "config": asdict(cfg),
@@ -502,7 +519,8 @@ class IndexBuilder:
             json.dump(stats, f, indent=2)
         return stats
 
-    def _write_blocks(self, postings: DataFrame, avg_doc_len: float) -> int:
+    def _write_blocks(self, postings: DataFrame, avg_doc_len: float,
+                      out_path: Optional[str] = None) -> int:
         """Delta-gap + VByte compressed posting runs with block-max
         metadata, one run per (term, doc-range); bounded group memory via
         doc-range alignment (SURVEY.md §2.3 B8-B11)."""
@@ -574,7 +592,7 @@ class IndexBuilder:
             .groupBy("bucket", "range_id")
             .applyInPandas(encode_group, schema=out_schema)
         )
-        blocks_path = self._path("blocks")
+        blocks_path = out_path or self._path("blocks")
         obs_blocks = Observation()
         (
             blocks.observe(obs_blocks, F.sum("n").alias("total"))
@@ -638,43 +656,150 @@ class IndexBuilder:
         return manifest
 
     # -------------------------------------------------------- incremental
-    def update_index(self, add: Optional[DataFrame] = None,
-                     remove_urls: Optional[List[str]] = None) -> dict:
-        """Incremental update (B14; reference interface
-        ``index_base.py:65-67`` — only the ES backend implemented it,
-        ``elasticsearch_indexer.py:151-180``; the self-index variants
-        stubbed it as 'rebuild').
+    # auto-compaction policy: bound read amplification (union branches)
+    # and tombstone-set size
+    COMPACT_MAX_DELTA_SEGMENTS = 8
+    COMPACT_MAX_TOMBSTONES = 1_000_000
 
-        Spark-native: additions become a NEW checkpointed segment (doc
-        ids continue after the current max), removals become manifest
-        tombstones, and re-finalizing runs the same sorted segment merge
-        with a broadcast anti-join on the tombstone set.  Cost is one
-        segment build + one merge — never a full re-tokenize of the
-        corpus.
+    def _load_stats(self) -> dict:
+        with open(self._path("stats.json")) as f:
+            return json.load(f)
+
+    def _save_stats(self, stats: dict) -> None:
+        with open(self._path("stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+
+    def _segment_extras(self, seg_name: str, avgdl_at_encode: float) -> None:
+        """Per-segment final artifacts for an UPDATE segment: dictionary
+        df partial + compressed block runs, so queries can merge this
+        segment at read time without any base-table rewrite."""
+        seg_post = self.spark.read.parquet(self._path("segments", seg_name, "postings"))
+        (
+            seg_post.groupBy("term", "bucket")
+            .agg(F.count("*").cast("long").alias("df"))
+            .repartition(self.config.n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._path("segments", seg_name, "dictionary"))
+        )
+        self._write_blocks(
+            seg_post, avgdl_at_encode, self._path("segments", seg_name, "blocks")
+        )
+
+    def _recount_terms(self, manifest: dict) -> int:
+        """Live distinct-term count: one O(vocab) job over the signed
+        dictionary sources (never O(postings))."""
+        from .reader import dictionary_sources
+
+        parts = []
+        for path, sign in dictionary_sources(self.index_dir, manifest):
+            parts.append(
+                self.spark.read.parquet(path).select(
+                    "term", (F.col("df") * F.lit(sign)).alias("df")
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return (
+            merged.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+            .count()
+        )
+
+    def update_index(self, add: Optional[DataFrame] = None,
+                     remove_urls: Optional[List[str]] = None,
+                     compact: object = "auto") -> dict:
+        """O(delta) incremental update (B14; reference interface
+        ``index_base.py:65-67`` — only the ES backend implemented it,
+        ``elasticsearch_indexer.py:151-180``).
+
+        LSM-style: additions become a self-contained delta segment (docs
+        + postings + dictionary partial + blocks — one segment build,
+        doc ids continue past the current max), removals become manifest
+        tombstones plus a df-subtraction partial computed by scanning
+        ONLY the segments whose doc-id range contains the removed ids.
+        **No base table is rewritten**; queries merge base ∪ deltas at
+        read time (operators/reader.py).  Corpus stats update
+        arithmetically from integer (doc_count, sum_doc_len) — exact,
+        not drifting.  ``compact`` = True / False / "auto": fold deltas
+        into the base tables (the only O(index) operation) now, never,
+        or when the read-amplification policy triggers.
+
+        Note: the optional x=3 ``store_tfidf`` table is refreshed only
+        at compaction (its scores bake in N and df).
         """
         manifest = self._load_manifest()
         if not manifest["segments"]:
             raise ValueError("update_index requires an existing index; use build()")
         t_start = time.time()
+        stats = self._load_stats()
+        doc_count = int(stats["doc_count"])
+        sum_len = int(stats.get("sum_doc_len") or round(stats["avg_doc_len"] * doc_count))
+        n_postings = int(stats["n_postings"])
 
         if remove_urls:
-            docs_tbl = self.spark.read.parquet(self._path("docs"))
-            ids = [
-                r["doc_id"]
-                for r in docs_tbl.filter(F.col("url").isin(remove_urls))
-                .select("doc_id")
+            from .reader import live_docs
+
+            rows = (
+                live_docs(self.spark, self.index_dir, manifest)
+                .filter(F.col("url").isin(remove_urls))
+                .select("doc_id", "doc_len")
                 .collect()
-            ]
-            tombs = set(manifest.get("tombstones", []))
-            tombs.update(int(i) for i in ids)
-            manifest["tombstones"] = sorted(tombs)
+            )
+            if rows:
+                rm_ids = sorted(int(r["doc_id"]) for r in rows)
+                doc_count -= len(rows)
+                sum_len -= sum(int(r["doc_len"]) for r in rows)
+                # df partial of the removed docs: scan only segments
+                # whose id range intersects (manifest-recorded ranges)
+                affected = []
+                for seg, meta in manifest["segments"].items():
+                    lo, hi = meta.get("min_doc_id"), meta.get("max_doc_id")
+                    if lo is None or hi is None or any(
+                        lo <= i <= hi for i in rm_ids
+                    ):
+                        affected.append(seg)
+                parts = [
+                    self.spark.read.parquet(self._path("segments", s, "postings"))
+                    for s in affected
+                ]
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p, allowMissingColumns=True)
+                if len(rm_ids) <= 1000:
+                    rm_posts = merged.filter(F.col("doc_id").isin(rm_ids))
+                else:
+                    rm_df = F.broadcast(
+                        self.spark.createDataFrame(
+                            [(i,) for i in rm_ids], "doc_id long"
+                        )
+                    )
+                    rm_posts = merged.join(rm_df, "doc_id", "left_semi")
+                delta_name = f"dict_rm_{len(manifest.get('dict_deltas', [])):05d}"
+                obs = Observation()
+                (
+                    rm_posts.groupBy("term", "bucket")
+                    .agg(F.count("*").cast("long").alias("df"))
+                    .observe(obs, F.sum("df").alias("removed"))
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(self._path("deltas", delta_name))
+                )
+                n_postings -= int(obs.get["removed"] or 0)
+                manifest.setdefault("dict_deltas", []).append(delta_name)
+                tombs = set(manifest.get("tombstones", []))
+                tombs.update(rm_ids)
+                manifest["tombstones"] = sorted(tombs)
 
         if add is not None:
             next_id = manifest.get("next_doc_id")
             if next_id is None:
                 # The docs table is tombstone-filtered, so its max can sit
                 # BELOW removed ids; a new doc given a tombstoned id would
-                # be silently deleted by finalize's anti-join.  Advance
+                # be silently dropped by the tombstone filter.  Advance
                 # past both the alive max and the tombstone max.
                 alive_max = (
                     self.spark.read.parquet(self._path("docs"))
@@ -700,12 +825,174 @@ class IndexBuilder:
             tok_path = self._path("segments", seg_name, "tokens")
             new_docs.write.mode("overwrite").parquet(tok_path)
             new_docs = self.spark.read.parquet(tok_path)
-            manifest["segments"][seg_name] = self.build_segment(seg_name, new_docs)
-            manifest["next_doc_id"] = int(next_id) + manifest["segments"][seg_name]["n_docs"]
+            seg_stats = self.build_segment(seg_name, new_docs)
+            doc_count += seg_stats["n_docs"]
+            sum_len += seg_stats["sum_doc_len"]
+            n_postings += seg_stats["n_postings"]
+            avgdl_now = (sum_len / doc_count) if doc_count else 0.0
+            self._segment_extras(seg_name, avgdl_now)
+            seg_stats["avgdl_at_encode"] = avgdl_now
+            manifest["segments"][seg_name] = seg_stats
+            manifest.setdefault("delta_segments", []).append(seg_name)
+            manifest["next_doc_id"] = int(next_id) + seg_stats["n_docs"]
 
-        manifest["finalized"] = False
+        stats["doc_count"] = doc_count
+        stats["sum_doc_len"] = sum_len
+        stats["avg_doc_len"] = (sum_len / doc_count) if doc_count else 0.0
+        stats["n_postings"] = n_postings
+        stats["n_terms"] = self._recount_terms(manifest)
+        self._save_stats(stats)
+        manifest["finalized"] = True
+        manifest["stats"] = {
+            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
+        }
+        manifest["total_seconds"] = round(time.time() - t_start, 3)
         self._save_manifest(manifest)
-        stats = self.finalize(manifest)
+
+        if compact is True or (compact == "auto" and self._should_compact(manifest, stats)):
+            return self.compact()
+        return manifest
+
+    def _should_compact(self, manifest: dict, stats: dict) -> bool:
+        if len(manifest.get("delta_segments", [])) > self.COMPACT_MAX_DELTA_SEGMENTS:
+            return True
+        tomb_cap = min(
+            self.COMPACT_MAX_TOMBSTONES,
+            max(1000, int(0.1 * max(stats.get("doc_count", 0), 1))),
+        )
+        return len(manifest.get("tombstones", [])) > tomb_cap
+
+    def compact(self) -> dict:
+        """Fold delta segments + tombstones into the base tables — the
+        ONLY O(index) operation in the update path.  Merges **base ∪
+        delta segments** (NOT all segment dirs: segment files retain
+        docs removed before earlier compactions, and re-merging them
+        would resurrect the dead), writes every table to ``<name>.new``
+        and swaps atomically, then clears the delta bookkeeping so the
+        read-time view is a single base again."""
+        manifest = self._load_manifest()
+        stats = self._load_stats()
+        cfg = self.config
+        delta = list(manifest.get("delta_segments", []))
+        tombs = sorted(int(t) for t in manifest.get("tombstones", []))
+        if not delta and not tombs and not manifest.get("dict_deltas"):
+            return manifest
+        t_start = time.time()
+        from .reader import filter_tombstones
+
+        def new(name: str) -> str:
+            return self._path(name + ".new")
+
+        parts = [self.spark.read.parquet(self._path("postings"))]
+        for s in delta:
+            parts.append(self.spark.read.parquet(self._path("segments", s, "postings")))
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
+        merged = filter_tombstones(merged, tombs)
+        (
+            merged.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(new("postings"))
+        )
+        postings = self.spark.read.parquet(new("postings"))
+
+        # stats are already exact (integer arithmetic at update time)
+        n_docs = int(stats["doc_count"])
+        sum_len = int(stats.get("sum_doc_len") or round(stats["avg_doc_len"] * n_docs))
+        avg_doc_len = (sum_len / n_docs) if n_docs else 0.0
+
+        dictionary = (
+            postings.groupBy("term", "bucket")
+            .agg(F.count("*").cast("long").alias("df"))
+            .withColumn(
+                "idf",
+                F.when(
+                    F.col("df") > 0,
+                    F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        obs_dict = Observation()
+        (
+            dictionary.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .observe(obs_dict, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(new("dictionary"))
+        )
+        n_terms = obs_dict.get["n"]
+
+        docs_parts = [self.spark.read.parquet(self._path("docs"))]
+        for s in delta:
+            docs_parts.append(
+                self.spark.read.parquet(self._path("segments", s, "docs")).select(
+                    "doc_id", "url", "doc_len"
+                )
+            )
+        docs_all = docs_parts[0]
+        for d in docs_parts[1:]:
+            docs_all = docs_all.unionByName(d)
+        filter_tombstones(docs_all, tombs).write.mode("overwrite").parquet(new("docs"))
+
+        swap = ["postings", "dictionary", "docs", "blocks"]
+        if cfg.store_tfidf:
+            dict_df = self.spark.read.parquet(new("dictionary")).select(
+                "bucket", "term", "df"
+            )
+            tfidf = (
+                postings.join(dict_df, ["bucket", "term"])
+                .filter(F.col("doc_len") > 0)
+                .select(
+                    "bucket",
+                    "term",
+                    "doc_id",
+                    (
+                        (F.col("tf").cast("double") / F.col("doc_len"))
+                        * F.log(F.lit(float(n_docs)) / F.col("df"))
+                    ).alias("score"),
+                )
+            )
+            (
+                tfidf.repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(new("tfidf"))
+            )
+            swap.append("tfidf")
+
+        n_postings = self._write_blocks(postings, avg_doc_len, new("blocks"))
+
+        for name in swap:
+            old = self._path(name)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.replace(new(name), old)
+        if os.path.isdir(self._path("deltas")):
+            shutil.rmtree(self._path("deltas"))
+
+        stats.update(
+            {
+                "doc_count": n_docs,
+                "sum_doc_len": sum_len,
+                "avg_doc_len": avg_doc_len,
+                "base_avgdl_at_encode": avg_doc_len,
+                "n_terms": int(n_terms),
+                "n_postings": int(n_postings),
+                "table_bytes": {
+                    t: _tree_bytes(self._path(t))
+                    for t in ("postings", "blocks", "dictionary", "docs", "tokens", "tfidf")
+                },
+            }
+        )
+        self._save_stats(stats)
+        manifest["delta_segments"] = []
+        manifest["dict_deltas"] = []
+        manifest["tombstones"] = []
         manifest["finalized"] = True
         manifest["stats"] = {
             k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")

@@ -42,37 +42,6 @@ from ..functions.udfs import term_bucket
 from ..oracle.engine import to_rpn
 
 
-def dictionary_point_lookup(index_dir: str, terms: Sequence[str],
-                            n_buckets: int, columns=("term", "idf")):
-    """Driver-side point lookup of dictionary rows WITHOUT a Spark job.
-
-    A term lookup is a point read of a tiny slice of the one index
-    table that is ~|vocab| rows; scheduling a distributed job for it
-    costs ~100 ms of pure overhead per cold query.  Instead the driver
-    reads the parquet directly via pyarrow dataset: hive partition
-    pruning on ``bucket=`` (the same crc32 bucketing as the build) plus
-    a ``term IN`` predicate against row-group stats (the dictionary is
-    written sorted by term within each bucket, so row-group min/max
-    prune tightly).  Works on any pyarrow-readable filesystem (local,
-    HDFS, s3); returns None if the read fails so callers fall back to
-    the Spark plan."""
-    try:
-        import pyarrow.dataset as pads
-
-        dataset = pads.dataset(
-            os.path.join(index_dir, "dictionary"), partitioning="hive"
-        )
-        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
-        expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
-            list(terms)
-        )
-        tbl = dataset.to_table(columns=list(columns), filter=expr)
-        return {
-            row[0]: row[1:] if len(columns) > 2 else row[1]
-            for row in zip(*(tbl[c].to_pylist() for c in columns))
-        }
-    except Exception:
-        return None
 
 
 class QueryEngine:
@@ -84,6 +53,8 @@ class QueryEngine:
         self._load()
 
     def _load(self) -> None:
+        from . import reader as R
+
         index_dir = self.index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -94,8 +65,16 @@ class QueryEngine:
         self.pretokenized = cfg.get("pretokenized", False)
         self.doc_count = self.stats["doc_count"]
         self.avg_doc_len = self.stats["avg_doc_len"]
-        self._postings = self.spark.read.parquet(os.path.join(index_dir, "postings"))
-        self._docs = self.spark.read.parquet(os.path.join(index_dir, "docs"))
+        # live view: compacted base ∪ delta segments − tombstones
+        # (operators/reader.py); collapses to the plain base tables when
+        # no incremental updates are pending
+        try:
+            self._manifest = R.load_manifest(index_dir)
+        except OSError:
+            self._manifest = {"segments": {}}
+        self._tombstones = R.tombstones(self._manifest)
+        self._postings = R.live_postings(self.spark, index_dir, self._manifest)
+        self._docs = R.live_docs(self.spark, index_dir, self._manifest)
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
         # reference's idf cache (B6, selfindex_q_daat.py:114-117): terms
         # looked up once per engine lifetime; misses cached as 0.0 so an
@@ -150,24 +129,28 @@ class QueryEngine:
         )
 
     def term_idf(self, terms: Sequence[str]) -> Dict[str, float]:
-        """Driver-side slice of the broadcast dictionary: term -> idf,
-        memoized across queries (the reference's idf_cache)."""
+        """term -> idf ln((N+1)/(df+1)), memoized across queries (the
+        reference's idf_cache).  df is the LIVE document frequency —
+        driver-side pyarrow point reads over the signed dictionary
+        sources (base + delta-segment partials − removed-doc partials;
+        no Spark job), idf computed here from the live doc count, which
+        keeps scores exact across incremental updates."""
+        import math
+
         self._refresh_if_stale()
         missing = sorted({t for t in terms if t not in self._idf_cache})
         if missing:
-            found = dictionary_point_lookup(self.index_dir, missing, self.n_buckets)
-            if found is None:  # non-arrow filesystem: Spark job fallback
-                buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-                rows = (
-                    self._dictionary.filter(
-                        F.col("bucket").isin(buckets) & F.col("term").isin(missing)
-                    )
-                    .select("term", "idf")
-                    .collect()
-                )
-                found = {r["term"]: r["idf"] for r in rows}
+            from .reader import live_df_lookup
+
+            dfs = live_df_lookup(
+                self.spark, self.index_dir, missing, self.n_buckets, self._manifest
+            )
+            n1 = float(self.doc_count + 1)
             for t in missing:
-                self._idf_cache[t] = found.get(t, 0.0)
+                df_v = dfs.get(t, 0)
+                self._idf_cache[t] = (
+                    math.log(n1 / (df_v + 1)) if df_v > 0 else 0.0
+                )
         # unindexed terms carry 0.0 — callers treat 0-idf and missing
         # identically (reference semantics)
         return {t: self._idf_cache[t] for t in set(terms)}
@@ -182,7 +165,11 @@ class QueryEngine:
         broadcast stage costs more than the tiny driver lookup), kept
         as the reference shape for when a caller needs a pure-plan
         (collect-free) pipeline, e.g. composing into a larger job.
-        Returns None only for an empty processed query."""
+        Returns None only for an empty processed query.
+
+        NOTE: reads the STORED idf column (computed at build/compaction
+        time); with pending delta segments use :meth:`score_plan`, which
+        derives idf from the live df."""
         terms = self._terms(query)
         if not terms:
             return None
@@ -366,7 +353,7 @@ class QueryEngine:
         per-posting by the tf counts).  Falls back to the uncompressed
         positional postings for indexes built before pos_blob existed."""
         blocks = self._blocks()
-        if "pos_blob" not in blocks.columns:
+        if blocks is None or "pos_blob" not in blocks.columns:
             return (
                 self._pruned_postings([term])
                 .filter(F.col("term") == term)
@@ -398,13 +385,30 @@ class QueryEngine:
                     )
                 yield pd.DataFrame({"doc_id": doc_ids, "positions": pos_lists})
 
-        return pruned.mapInPandas(decode, schema="doc_id long, positions array<int>")
+        decoded = pruned.mapInPandas(decode, schema="doc_id long, positions array<int>")
+        from .reader import filter_tombstones
 
-    def _blocks(self) -> DataFrame:
+        return filter_tombstones(decoded, self._tombstones)
+
+    def _blocks(self) -> Optional[DataFrame]:
+        """Live blocks view (base ∪ delta segments).  Returns None when
+        any source lacks pos_blob (pre-position-codec index) so phrase
+        falls back to the uncompressed positional postings."""
         if not hasattr(self, "_blocks_df"):
-            self._blocks_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "blocks")
-            )
+            from .reader import live_blocks
+
+            sources = [
+                df for df, _scale in live_blocks(
+                    self.spark, self.index_dir, self._manifest, self.stats
+                )
+            ]
+            if any("pos_blob" not in s.columns for s in sources):
+                self._blocks_df = None
+            else:
+                merged = sources[0]
+                for s in sources[1:]:
+                    merged = merged.unionByName(s)
+                self._blocks_df = merged
         return self._blocks_df
 
     def phrase_plan(self, phrase: str) -> DataFrame:

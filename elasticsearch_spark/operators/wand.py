@@ -48,8 +48,17 @@ RESULT_SCHEMA = T.StructType(
 
 
 def _make_kernel(weights: Dict[str, float], avg_doc_len: float, k1: float, b: float,
-                 range_bits: int, k: int, codec_name: str = "vbyte"):
-    """Build the per-range scoring kernel closure (pickled to executors)."""
+                 range_bits: int, k: int, codec_name: str = "vbyte",
+                 tombstones=None):
+    """Build the per-range scoring kernel closure (pickled to executors).
+    ``tombstones``: doc ids to skip at decode time (incremental deletes
+    whose postings still sit in not-yet-compacted block runs; the set
+    size is bounded by the compaction policy)."""
+    tomb_arr = (
+        np.asarray(sorted(tombstones), dtype=np.int64)
+        if tombstones
+        else np.empty(0, dtype=np.int64)
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -68,6 +77,8 @@ def _make_kernel(weights: Dict[str, float], avg_doc_len: float, k1: float, b: fl
                 row.doc_blob, row.tf_blob, row.len_blob, codec_name
             )
             ok = lens > 0
+            if tomb_arr.size:
+                ok &= ~np.isin(doc_ids, tomb_arr)
             imp = codec.bm25_impact(tfs[ok], lens[ok], avg_doc_len, k1, b)
             np.add.at(arr, doc_ids[ok] - base, w * imp)
         nz = np.nonzero(arr)[0]
@@ -101,7 +112,20 @@ class WandEngine:
         self.pretokenized = cfg.get("pretokenized", False)
         self.codec = cfg.get("codec", "vbyte")
         self.avg_doc_len = self.stats["avg_doc_len"]
-        self._blocks = self.spark.read.parquet(os.path.join(index_dir, "blocks"))
+        self.doc_count = self.stats["doc_count"]
+        # live block sources: [(blocks_df, ub_scale)] — base + delta
+        # segments, each with its avgdl-drift correction factor so the
+        # stored block-max bounds stay valid upper bounds (reader.py)
+        from . import reader as R
+
+        try:
+            self._manifest = R.load_manifest(index_dir)
+        except OSError:
+            self._manifest = {"segments": {}}
+        self._tombstones = R.tombstones(self._manifest)
+        self._block_sources = R.live_blocks(
+            self.spark, index_dir, self._manifest, self.stats
+        )
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._idf_cache: Dict[str, float] = {}  # B6 idf cache (misses as 0.0)
         try:
@@ -132,21 +156,19 @@ class WandEngine:
         counts = Counter(terms)
         missing = sorted(t for t in counts if t not in self._idf_cache)
         if missing:
-            from .query import dictionary_point_lookup
+            import math
 
-            found = dictionary_point_lookup(self.index_dir, missing, self.n_buckets)
-            if found is None:  # non-arrow filesystem: Spark job fallback
-                buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-                rows = (
-                    self._dictionary.filter(
-                        F.col("bucket").isin(buckets) & F.col("term").isin(missing)
-                    )
-                    .select("term", "idf")
-                    .collect()
-                )
-                found = {r["term"]: r["idf"] for r in rows}
+            from .reader import live_df_lookup
+
+            dfs = live_df_lookup(
+                self.spark, self.index_dir, missing, self.n_buckets, self._manifest
+            )
+            n1 = float(self.doc_count + 1)
             for t in missing:
-                self._idf_cache[t] = found.get(t, 0.0)
+                df_v = dfs.get(t, 0)
+                self._idf_cache[t] = (
+                    math.log(n1 / (df_v + 1)) if df_v > 0 else 0.0
+                )
         return {
             t: self._idf_cache[t] * c
             for t, c in counts.items()
@@ -167,32 +189,62 @@ class WandEngine:
             return empty
         terms = sorted(weights)
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        blocks = self._blocks.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
 
-        # corpus-derived range count — known without a job
-        n_ranges_max = (max(self.stats["doc_count"] - 1, 0) >> self.range_bits) + 1
+        # prune each live source (base + delta segments), tag it with
+        # its avgdl-drift UB scale, then union for the kernel phases —
+        # partition pruning + term pushdown apply per union branch
+        kernel_cols = ["range_id", "term", "doc_blob", "tf_blob", "len_blob"]
+        pruned = []
+        for src, ub_scale in self._block_sources:
+            pruned.append(
+                (
+                    src.filter(
+                        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+                    ),
+                    ub_scale,
+                )
+            )
+        blocks = pruned[0][0].select(*kernel_cols)
+        for src, _s in pruned[1:]:
+            blocks = blocks.unionByName(src.select(*kernel_cols))
+
+        # corpus-derived range count — known without a job.  The id
+        # space upper bound must cover tombstoned ids too (delta blocks
+        # can hold ids past doc_count after removals).
+        max_id = max(
+            self.stats["doc_count"] - 1,
+            int(self._manifest.get("next_doc_id", 0)) - 1,
+            0,
+        )
+        n_ranges_max = (max_id >> self.range_bits) + 1
         if n_ranges_max <= self.SINGLE_PHASE_RANGES:
             kernel = _make_kernel(
                 weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k,
-                self.codec,
+                self.codec, self._tombstones,
             )
             scored = blocks.groupBy("range_id").applyInPandas(
                 lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
             )
             return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
-        # phase 0: metadata-only per-range upper bounds
+        # phase 0: metadata-only per-range upper bounds (per-source UB
+        # scale corrects for avgdl drift since that source was encoded)
         w_items: list = []
         for t in terms:
             w_items += [F.lit(t), F.lit(float(weights[t]))]
         w_col = F.create_map(*w_items)[F.col("term")]
-        range_ub = (
-            blocks.select("range_id", (w_col * F.col("max_impact")).alias("ub"))
-            .groupBy("range_id")
-            .agg(F.sum("ub").alias("ub"))
-        )
+        ub_parts = []
+        for src, ub_scale in pruned:
+            ub_parts.append(
+                src.select(
+                    "range_id",
+                    (w_col * F.col("max_impact") * F.lit(float(ub_scale))).alias("ub"),
+                )
+            )
+        ub_all = ub_parts[0]
+        for p in ub_parts[1:]:
+            ub_all = ub_all.unionByName(p)
+        range_ub = ub_all.groupBy("range_id").agg(F.sum("ub").alias("ub"))
         # seed with the top-S UB ranges (not just 1): the tighter theta0
         # costs nothing extra — still one kernel job — and shrinks the
         # phase-2 survivor set
@@ -205,7 +257,7 @@ class WandEngine:
 
         kernel = _make_kernel(
             weights, self.avg_doc_len, self.k1, self.b, self.range_bits, k,
-            self.codec,
+            self.codec, self._tombstones,
         )
 
         # phase 1: exact threshold from the seed ranges

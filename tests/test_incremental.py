@@ -30,21 +30,36 @@ def corpora(spark):
 
 
 def _postings_by_url(spark, index_dir):
-    """(url, term, tf) set — the id-agnostic content of the index."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    """(url, term, tf) set — the id-agnostic content of the LIVE index
+    view (base ∪ delta segments − tombstones)."""
+    from elasticsearch_spark.operators.reader import live_docs, live_postings
+
+    postings = live_postings(spark, index_dir)
+    docs = live_docs(spark, index_dir)
     rows = postings.join(docs, "doc_id").select("url", "term", "tf").collect()
     return {(r["url"], r["term"], r["tf"]) for r in rows}
 
 
 def _ranked_urls(spark, index_dir, query):
+    from elasticsearch_spark.operators.reader import live_docs
+
     eng = QueryEngine(spark, index_dir)
     res = eng.ranked(query, k=10)
     docs = {
-        r["doc_id"]: r["url"]
-        for r in spark.read.parquet(os.path.join(index_dir, "docs")).collect()
+        r["doc_id"]: r["url"] for r in live_docs(spark, index_dir).collect()
     }
     return [(docs[r["doc_id"]], round(r["score"], 9)) for r in res["results"]]
+
+
+def _tree_file_states(path):
+    """{relpath: (size, mtime_ns)} for every data file under a table."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+    return out
 
 
 def test_update_add_and_remove_matches_rebuild(spark, corpora, tmp_index_root):
@@ -130,6 +145,121 @@ def test_remove_max_id_then_add_matches_rebuild(spark, tmp_index_root):
     assert _postings_by_url(spark, inc_dir) == _postings_by_url(spark, rb_dir)
     for q in QUERIES:
         assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
+
+
+def test_update_add_is_o_delta_not_o_index(spark, tmp_index_root):
+    """Adding a small segment must NOT rewrite the base index: every
+    postings/blocks/dictionary/docs file of the large base must be
+    byte-for-byte untouched (same size + mtime) after update_index —
+    the property that makes appends O(delta) at web scale."""
+    rows = corpus_rows(260)
+    base = spark.createDataFrame(rows[:240], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[240:], INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "odelta")
+    bld = IndexBuilder(spark, d, IndexConfig(n_buckets=4, doc_range_bits=6))
+    bld.build(base)
+
+    before = {
+        t: _tree_file_states(os.path.join(d, t))
+        for t in ("postings", "blocks", "dictionary", "docs")
+    }
+    m = bld.update_index(add=extra)
+    after = {
+        t: _tree_file_states(os.path.join(d, t))
+        for t in ("postings", "blocks", "dictionary", "docs")
+    }
+    assert before == after, "update_index(add) rewrote base table files"
+    assert m["delta_segments"], "expected a pending delta segment"
+    # the delta segment is self-contained: postings + dictionary + blocks
+    seg = m["delta_segments"][-1]
+    for t in ("postings", "dictionary", "blocks", "docs"):
+        assert os.path.exists(os.path.join(d, "segments", seg, t, "_SUCCESS")), t
+
+    # ...and the live view serves the merged corpus
+    target = base.unionByName(extra)
+    rb = os.path.join(tmp_index_root, "odelta_rb")
+    IndexBuilder(spark, rb, IndexConfig(n_buckets=4, doc_range_bits=6)).build(target)
+    assert _postings_by_url(spark, d) == _postings_by_url(spark, rb)
+    for q in QUERIES:
+        assert _ranked_urls(spark, d, q) == _ranked_urls(spark, rb, q), q
+
+
+def test_compaction_folds_deltas_and_preserves_results(spark, tmp_index_root):
+    """compact() merges base ∪ delta − tombstones into fresh base tables;
+    results identical before and after, bookkeeping cleared, and a
+    SECOND compaction cycle must not resurrect previously removed docs."""
+    rows = corpus_rows(300)
+    a = spark.createDataFrame(rows[:200], INPUT_SCHEMA)
+    b = spark.createDataFrame(rows[200:260], INPUT_SCHEMA)
+    c = spark.createDataFrame(rows[260:], INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "compact_idx")
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6)
+    bld = IndexBuilder(spark, d, cfg)
+    bld.build(a)
+    rm1 = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(d, "docs"))
+        .orderBy("doc_id").limit(4).collect()
+    ]
+    bld.update_index(add=b, remove_urls=rm1)
+    before = {q: _ranked_urls(spark, d, q) for q in QUERIES}
+    pre_stats = QueryEngine(spark, d).stats
+
+    m = bld.compact()
+    assert m["delta_segments"] == [] and m["tombstones"] == [] and m["dict_deltas"] == []
+    after = {q: _ranked_urls(spark, d, q) for q in QUERIES}
+    assert before == after
+    post_stats = QueryEngine(spark, d).stats
+    for k in ("doc_count", "n_terms", "n_postings"):
+        assert pre_stats[k] == post_stats[k], k
+    assert abs(pre_stats["avg_doc_len"] - post_stats["avg_doc_len"]) < 1e-12
+
+    # second cycle: remove from the compacted base, add, compact again —
+    # docs removed in cycle 1 must NOT come back
+    from elasticsearch_spark.operators.reader import live_docs
+
+    rm2 = [
+        r["url"]
+        for r in live_docs(spark, d).orderBy("doc_id").limit(3).collect()
+    ]
+    bld.update_index(add=c, remove_urls=rm2)
+    bld.compact()
+    target = (
+        a.unionByName(b).unionByName(c).filter(~F.col("url").isin(rm1 + rm2))
+    )
+    rb = os.path.join(tmp_index_root, "compact_rb")
+    IndexBuilder(spark, rb, cfg).build(target)
+    assert _postings_by_url(spark, d) == _postings_by_url(spark, rb)
+    for q in QUERIES:
+        assert _ranked_urls(spark, d, q) == _ranked_urls(spark, rb, q), q
+
+
+def test_wand_on_updated_index_matches_taat(spark, tmp_index_root):
+    """Block-max WAND over base + delta block sources (with avgdl-drift
+    UB scaling and tombstone skip) must return the exact TAAT top-k."""
+    from elasticsearch_spark.operators.wand import WandEngine
+
+    rows = corpus_rows(280)
+    base = spark.createDataFrame(rows[:220], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[220:], INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "wand_inc")
+    bld = IndexBuilder(spark, d, IndexConfig(n_buckets=4, doc_range_bits=6))
+    bld.build(base)
+    rm = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(d, "docs"))
+        .orderBy("doc_id").limit(5).collect()
+    ]
+    bld.update_index(add=extra, remove_urls=rm)
+
+    eng = QueryEngine(spark, d)
+    wand = WandEngine(spark, d)
+    for q in QUERIES:
+        want = eng.ranked(q, k=10)["results"]
+        got = wand.topk(q, k=10)["results"]
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, q
 
 
 def test_update_requires_existing_index(spark, corpora, tmp_index_root):
