@@ -258,30 +258,44 @@ class IndexBuilder:
             )
         return df.select("doc_id", "url", F.size("tokens").alias("doc_len"), "tokens")
 
-    def build_segment(self, seg_name: str, docs: DataFrame) -> dict:
+    def build_segment(self, seg_name: str, docs: DataFrame,
+                      docs_stats: Optional[dict] = None,
+                      link_docs_from: Optional[str] = None) -> dict:
         """One checkpointed segment: docs table + bucket-partitioned
-        postings run.  Returns segment stats for the manifest."""
+        postings run.  Returns segment stats for the manifest.
+
+        ``docs_stats`` + ``link_docs_from``: when the caller already has
+        the doc stats (from an Observation on the tokens write) and the
+        segment covers the WHOLE tokens table, the docs table is served
+        by hardlinking the tokens files (readers column-prune the tokens
+        column away) — one fewer job + write per build."""
         cfg = self.config
         t0 = time.time()
         docs_path = self._path("segments", seg_name, "docs")
-        # Observation collects the stats DURING the write — no read-back
-        # job (these per-stage jobs are the fixed residue that limits
-        # small-sample scaling efficiency; see BENCH/BASELINE.md §4)
-        obs_docs = Observation()
-        (
-            docs.select("doc_id", "url", "doc_len")
-            .observe(
-                obs_docs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum("doc_len").alias("s"),
-                F.min("doc_id").alias("mn"),
-                F.max("doc_id").alias("mx"),
+        if docs_stats is not None and link_docs_from is not None:
+            _link_tree(link_docs_from, docs_path)
+            n_docs, sum_len = docs_stats["n"], docs_stats["s"]
+            min_id, max_id = docs_stats["mn"], docs_stats["mx"]
+        else:
+            # Observation collects the stats DURING the write — no
+            # read-back job (these per-stage jobs are the fixed residue
+            # that limits small-sample scaling efficiency; see
+            # BENCH/BASELINE.md §4)
+            obs_docs = Observation()
+            (
+                docs.select("doc_id", "url", "doc_len")
+                .observe(
+                    obs_docs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                    F.min("doc_id").alias("mn"),
+                    F.max("doc_id").alias("mx"),
+                )
+                .write.mode("overwrite")
+                .parquet(docs_path)
             )
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
-        n_docs, sum_len = obs_docs.get["n"], obs_docs.get["s"] or 0
-        min_id, max_id = obs_docs.get["mn"], obs_docs.get["mx"]
+            n_docs, sum_len = obs_docs.get["n"], obs_docs.get["s"] or 0
+            min_id, max_id = obs_docs.get["mn"], obs_docs.get["mx"]
         t1 = time.time()
         self._record(f"{seg_name}/docs", t1 - t0, docs=n_docs)
 
@@ -421,26 +435,19 @@ class IndexBuilder:
             n_docs, sum_len = row["n"], row["s"] or 0
         avg_doc_len = (sum_len / n_docs) if n_docs else 0.0
 
+        # Compressed block-max runs per (term, doc-range) — written
+        # BEFORE the dictionary so the dictionary can be derived from
+        # the tiny block metadata instead of re-scanning all postings.
+        n_postings = self._write_blocks(postings, avg_doc_len)
+        t15 = time.time()
+
         # Dictionary: df per term + the reference idf ln((N+1)/(df+1)).
-        dictionary = (
-            postings.groupBy("term", "bucket")
-            .agg(F.count("*").cast("long").alias("df"))
-            .withColumn(
-                "idf",
-                F.when(F.col("df") > 0, F.log((F.lit(n_docs) + 1) / (F.col("df") + 1))).otherwise(F.lit(0.0)),
-            )
-        )
+        # df = Σ n over a term's block runs — an aggregation over ~one
+        # row per (term, doc-range) metadata, not over the postings.
         dict_path = self._path("dictionary")
-        obs_dict = Observation()
-        (
-            dictionary.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .observe(obs_dict, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(dict_path)
+        n_terms = self._write_dictionary_from_blocks(
+            self._path("blocks"), dict_path, n_docs
         )
-        n_terms = obs_dict.get["n"]
         t2 = time.time()
 
         # Docs table (merged).
@@ -448,7 +455,12 @@ class IndexBuilder:
         if len(seg_names) == 1 and tomb_df is None:
             _link_tree(self._path("segments", seg_names[0], "docs"), docs_path)
         else:
-            seg_docs = [self.spark.read.parquet(self._path("segments", s, "docs")) for s in seg_names]
+            seg_docs = [
+                self.spark.read.parquet(self._path("segments", s, "docs")).select(
+                    "doc_id", "url", "doc_len"
+                )
+                for s in seg_names
+            ]
             docs_all = seg_docs[0]
             for d in seg_docs[1:]:
                 docs_all = docs_all.unionByName(d)
@@ -486,14 +498,10 @@ class IndexBuilder:
                 .parquet(self._path("tfidf"))
             )
 
-        # Compressed block-max runs per (term, doc-range).
-        n_postings = self._write_blocks(postings, avg_doc_len)
-        t4 = time.time()
-
         self._record("finalize/merge_postings", t1 - t0, postings=n_postings)
-        self._record("finalize/dictionary", t2 - t1)
+        self._record("finalize/blocks", t15 - t1, postings=n_postings)
+        self._record("finalize/dictionary", t2 - t15)
         self._record("finalize/docs", t3 - t2, docs=n_docs)
-        self._record("finalize/blocks", t4 - t3, postings=n_postings)
 
         stats = {
             "doc_count": n_docs,
@@ -602,6 +610,36 @@ class IndexBuilder:
         )
         return obs_blocks.get["total"] or 0
 
+    def _write_dictionary_from_blocks(self, blocks_path: str, dict_path: str,
+                                      n_docs: int) -> int:
+        """Dictionary (term, df, idf, bucket) derived from block-run
+        metadata: df = Σ n over a term's runs.  Scans ~one row per
+        (term, doc-range) — metadata-sized, never the postings — and the
+        blob columns are pruned from the read entirely."""
+        cfg = self.config
+        blocks = self.spark.read.parquet(blocks_path)
+        dictionary = (
+            blocks.groupBy("term", "bucket")
+            .agg(F.sum("n").cast("long").alias("df"))
+            .withColumn(
+                "idf",
+                F.when(
+                    F.col("df") > 0,
+                    F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        obs_dict = Observation()
+        (
+            dictionary.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .observe(obs_dict, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dict_path)
+        )
+        return int(obs_dict.get["n"])
+
     # --------------------------------------------------------------- main
     def build(self, raw: DataFrame, max_segments: Optional[int] = None) -> dict:
         """Full build with segment checkpoints.  ``max_segments`` limits
@@ -614,18 +652,44 @@ class IndexBuilder:
         # Tokenize exactly once into a columnar forward table — cheaper
         # and more resumable than caching 10^8s of token strings as JVM
         # objects (deserialized persist would GC-thrash at scale), and a
-        # crash after this point never re-runs the Python UDF.
+        # crash after this point never re-runs the Python UDF.  The doc
+        # stats (count/sum/min/max) ride the write as an Observation and
+        # are checkpointed in the manifest, so neither the segment
+        # planner nor the docs table needs another pass over the data.
         tokens_path = self._path("tokens")
         if not os.path.exists(os.path.join(tokens_path, "_SUCCESS")):
             t0 = time.time()
-            self.prepare_docs(raw).write.mode("overwrite").parquet(tokens_path)
-            self._record("tokenize", time.time() - t0)
+            obs_tok = Observation()
+            (
+                self.prepare_docs(raw)
+                .observe(
+                    obs_tok,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"),
+                    F.min("doc_id").alias("mn"),
+                    F.max("doc_id").alias("mx"),
+                )
+                .write.mode("overwrite")
+                .parquet(tokens_path)
+            )
+            manifest["tokens_stats"] = {
+                "n": int(obs_tok.get["n"]),
+                "s": int(obs_tok.get["s"] or 0),
+                "mn": obs_tok.get["mn"],
+                "mx": obs_tok.get["mx"],
+            }
+            self._save_manifest(manifest)
+            self._record("tokenize", time.time() - t0, docs=manifest["tokens_stats"]["n"])
         docs = self.spark.read.parquet(tokens_path)
+        tok_stats = manifest.get("tokens_stats")
 
         if cfg.segment_docs and cfg.segment_docs > 0:
             # Segment by doc_id range: deterministic, resumable.
-            n_total = docs.agg(F.max("doc_id")).collect()[0][0]
-            n_total = (n_total + 1) if n_total is not None else 0
+            if tok_stats is not None:
+                n_total = (tok_stats["mx"] + 1) if tok_stats["mx"] is not None else 0
+            else:  # legacy manifest without checkpointed tokens stats
+                n_total = docs.agg(F.max("doc_id")).collect()[0][0]
+                n_total = (n_total + 1) if n_total is not None else 0
             n_segments = max(1, math.ceil(n_total / cfg.segment_docs))
         else:
             n_segments = 1
@@ -640,9 +704,14 @@ class IndexBuilder:
             if cfg.segment_docs and n_segments > 1:
                 lo, hi = i * cfg.segment_docs, (i + 1) * cfg.segment_docs
                 seg_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                manifest["segments"][seg_name] = self.build_segment(seg_name, seg_docs)
             else:
-                seg_docs = docs
-            manifest["segments"][seg_name] = self.build_segment(seg_name, seg_docs)
+                # whole-corpus segment: docs table = linked tokens files
+                # + stats from the tokenize Observation (no extra job)
+                manifest["segments"][seg_name] = self.build_segment(
+                    seg_name, docs, docs_stats=tok_stats,
+                    link_docs_from=tokens_path if tok_stats else None,
+                )
             self._save_manifest(manifest)
             built += 1
 
@@ -674,17 +743,13 @@ class IndexBuilder:
         df partial + compressed block runs, so queries can merge this
         segment at read time without any base-table rewrite."""
         seg_post = self.spark.read.parquet(self._path("segments", seg_name, "postings"))
-        (
-            seg_post.groupBy("term", "bucket")
-            .agg(F.count("*").cast("long").alias("df"))
-            .repartition(self.config.n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(self._path("segments", seg_name, "dictionary"))
-        )
-        self._write_blocks(
-            seg_post, avgdl_at_encode, self._path("segments", seg_name, "blocks")
+        blocks_path = self._path("segments", seg_name, "blocks")
+        self._write_blocks(seg_post, avgdl_at_encode, blocks_path)
+        # df partial derived from the block metadata (see
+        # _write_dictionary_from_blocks) — the idf column written here is
+        # meaningless for a partial (readers use df only) but harmless
+        self._write_dictionary_from_blocks(
+            blocks_path, self._path("segments", seg_name, "dictionary"), 0
         )
 
     def _recount_terms(self, manifest: dict) -> int:
@@ -904,29 +969,16 @@ class IndexBuilder:
         sum_len = int(stats.get("sum_doc_len") or round(stats["avg_doc_len"] * n_docs))
         avg_doc_len = (sum_len / n_docs) if n_docs else 0.0
 
-        dictionary = (
-            postings.groupBy("term", "bucket")
-            .agg(F.count("*").cast("long").alias("df"))
-            .withColumn(
-                "idf",
-                F.when(
-                    F.col("df") > 0,
-                    F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)),
-                ).otherwise(F.lit(0.0)),
-            )
+        n_postings = self._write_blocks(postings, avg_doc_len, new("blocks"))
+        n_terms = self._write_dictionary_from_blocks(
+            new("blocks"), new("dictionary"), n_docs
         )
-        obs_dict = Observation()
-        (
-            dictionary.repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term")
-            .observe(obs_dict, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(new("dictionary"))
-        )
-        n_terms = obs_dict.get["n"]
 
-        docs_parts = [self.spark.read.parquet(self._path("docs"))]
+        docs_parts = [
+            self.spark.read.parquet(self._path("docs")).select(
+                "doc_id", "url", "doc_len"
+            )
+        ]
         for s in delta:
             docs_parts.append(
                 self.spark.read.parquet(self._path("segments", s, "docs")).select(
@@ -964,8 +1016,6 @@ class IndexBuilder:
                 .parquet(new("tfidf"))
             )
             swap.append("tfidf")
-
-        n_postings = self._write_blocks(postings, avg_doc_len, new("blocks"))
 
         for name in swap:
             old = self._path(name)

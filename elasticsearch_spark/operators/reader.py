@@ -79,7 +79,13 @@ def live_postings(spark: SparkSession, index_dir: str,
 def live_docs(spark: SparkSession, index_dir: str,
               manifest: Optional[dict] = None) -> DataFrame:
     manifest = manifest or load_manifest(index_dir)
-    parts = [spark.read.parquet(os.path.join(index_dir, "docs"))]
+    # select the canonical columns: a docs table served by linked tokens
+    # files carries a (column-pruned-away) tokens column
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_id", "url", "doc_len"
+        )
+    ]
     for seg in delta_segments(manifest):
         parts.append(
             spark.read.parquet(os.path.join(index_dir, "segments", seg, "docs"))

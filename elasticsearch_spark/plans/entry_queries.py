@@ -492,6 +492,88 @@ def _engine(spark, sf_dir):
     return _ENGINE_CACHE[key]
 
 
+def _engine_inc(spark, sf_dir):
+    """Engine over an INCREMENTALLY-built index: base build on even
+    doc_ids, then ``update_index(add=<odd doc_ids>)`` — which leaves an
+    uncompacted delta segment (O(delta): zero base-table rewrites).
+    The gates below prove the live read-time-merged view (base ∪ delta,
+    idf from the signed df sources) equals the full-corpus oracle."""
+    import shutil as _shutil
+
+    from ..operators.build import IndexBuilder, IndexConfig
+    from ..operators.query import QueryEngine
+
+    cfg = IndexConfig(
+        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True, use_html=False
+    )
+    key = os.path.abspath(sf_dir) + repr(cfg) + ":incremental"
+    if key not in _ENGINE_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "es_spark_entry_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        )
+        manifest_p = os.path.join(idx_dir, "manifest.json")
+        ready = False
+        if os.path.exists(manifest_p):
+            import json as _json
+
+            with open(manifest_p) as f:
+                m = _json.load(f)
+            ready = bool(m.get("finalized")) and bool(m.get("delta_segments"))
+        if not ready:
+            _shutil.rmtree(idx_dir, ignore_errors=True)
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            builder = IndexBuilder(spark, idx_dir, cfg)
+            builder.build(docs.filter(F.col("doc_id") % 2 == 0))
+            builder.update_index(
+                add=docs.filter(F.col("doc_id") % 2 == 1), compact=False
+            )
+        _ENGINE_CACHE[key] = QueryEngine(spark, idx_dir)
+    return _ENGINE_CACHE[key]
+
+
+@register("engine_update_bm25_topk", _bm25_sql(Q1_TERMS, k=10))
+def engine_update_bm25_topk(spark, sf_dir):
+    """BM25 top-k served from the incrementally-updated index (half the
+    corpus added as an uncompacted delta segment): must equal the
+    oracle computed over the FULL corpus — the O(delta) update path's
+    rank-identity proof."""
+    eng = _engine_inc(spark, sf_dir)
+    plan = eng.score_plan(" ".join(Q1_TERMS))
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_update_dictionary",
+    f"""WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term""",
+)
+def engine_update_dictionary(spark, sf_dir):
+    """Live document frequencies from the signed dictionary sources
+    (base + delta-segment partials) of the incrementally-built index —
+    must equal the full-corpus df oracle."""
+    from ..operators.reader import dictionary_sources
+
+    eng = _engine_inc(spark, sf_dir)
+    parts = []
+    for path, sign in dictionary_sources(eng.index_dir, eng._manifest):
+        parts.append(
+            spark.read.parquet(path).select(
+                "term", (F.col("df") * F.lit(sign)).alias("df")
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        merged.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
 @register("engine_bm25_topk", _bm25_sql(Q1_TERMS, k=10))
 def engine_bm25_topk(spark, sf_dir):
     """Same oracle as bm25_topk_q1, but served from the real index
@@ -510,6 +592,25 @@ def engine_bm25_topk(spark, sf_dir):
 def engine_boolean_complex(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return eng.boolean_plan("(spark OR dup) AND merge NOT window").orderBy("doc_id")
+
+
+@register(
+    "engine_boolean_not_topk",
+    f"""WITH {_TOK_CTE},
+s AS (({_term_docs_sql('spark')}) EXCEPT ({_term_docs_sql('dup')}))
+SELECT doc_id, (SELECT count(*) FROM s)::BIGINT AS total_hits
+FROM s ORDER BY doc_id LIMIT 10""",
+)
+def engine_boolean_not_topk(spark, sf_dir):
+    """The BOUNDED boolean path (production shape): k smallest doc_ids
+    plus the exact total hit count, both from ONE job (Observation on
+    the set plan) — nothing corpus-sized reaches the driver."""
+    eng = _engine(spark, sf_dir)
+    res = eng.boolean_topk("spark NOT dup", k=10)
+    return spark.createDataFrame(
+        [(r["doc_id"], res["total_hits"]) for r in res["results"]],
+        "doc_id long, total_hits long",
+    )
 
 
 @register("wand_bm25_topk", _bm25_sql(Q1_TERMS, k=10))
