@@ -123,3 +123,41 @@ def test_phrase_served_from_compressed_blocks(spark, pos_engine):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_phrase_on_updated_index_matches_rebuild(spark, tmp_index_root):
+    """Phrase over base + delta positional block sources (tombstone-
+    filtered) must equal a full rebuild of the post-update corpus."""
+    from elasticsearch_spark.sources.webtext import corpus_rows as _rows
+
+    rows = _rows(260)
+    base = spark.createDataFrame(rows[:220], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[220:], INPUT_SCHEMA)
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6, positional=True)
+    d = os.path.join(tmp_index_root, "phrase_inc")
+    bld = IndexBuilder(spark, d, cfg)
+    bld.build(base)
+    rm = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(d, "docs"))
+        .orderBy("doc_id").limit(4).collect()
+    ]
+    bld.update_index(add=extra, remove_urls=rm)
+
+    rb = os.path.join(tmp_index_root, "phrase_inc_rb")
+    IndexBuilder(spark, rb, cfg).build(
+        base.filter(~F.col("url").isin(rm)).unionByName(extra)
+    )
+
+    from elasticsearch_spark.operators.reader import live_docs
+
+    def by_url(idx_dir, phrase):
+        eng = QueryEngine(spark, idx_dir)
+        urls = {r["doc_id"]: r["url"] for r in live_docs(spark, idx_dir).collect()}
+        return {
+            urls[r["doc_id"]]: (r["n_occurrences"], list(r["start_positions"]))
+            for r in eng.phrase_plan(phrase).collect()
+        }
+
+    for phrase in ["machine learning", "sparkhead", "zo ta"]:
+        assert by_url(d, phrase) == by_url(rb, phrase), phrase
