@@ -67,13 +67,15 @@ _U7F = np.uint64(0x7F)
 _U80 = np.uint64(0x80)
 
 
-def vbyte_encode(numbers) -> bytes:
-    """VByte-encode non-negative ints — numpy-vectorized (the loop runs
-    over byte *positions*, max 10 iterations, not over values)."""
+def vbyte_encode_with_value_lengths(numbers) -> tuple[bytes, np.ndarray]:
+    """VByte-encode non-negative ints, also returning the encoded byte
+    length of EACH value — lets callers slice one encoded stream into
+    per-run blobs (byte-identical to encoding each run separately,
+    since VByte encodes values independently)."""
     arr = np.asarray(numbers, dtype=np.uint64)
     n = arr.size
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     lengths = np.ones(n, dtype=np.int64)
     v = arr >> _U7
     while v.any():
@@ -94,7 +96,13 @@ def vbyte_encode(numbers) -> bytes:
         v >>= _U7
         active = v > 0
         pos -= 1
-    return out.tobytes()
+    return out.tobytes(), lengths
+
+
+def vbyte_encode(numbers) -> bytes:
+    """VByte-encode non-negative ints — numpy-vectorized (the loop runs
+    over byte *positions*, max 10 iterations, not over values)."""
+    return vbyte_encode_with_value_lengths(numbers)[0]
 
 
 def vbyte_decode_np(data: bytes) -> np.ndarray:
@@ -265,6 +273,56 @@ def decode_positions(blob: bytes, counts, codec: str = "vbyte") -> np.ndarray:
     grp_base = np.zeros(nz.size, dtype=np.int64)
     grp_base[1:] = c[starts[1:] - 1]
     return c - np.repeat(grp_base, nz)
+
+
+def encode_runs(doc_ids, tfs, doc_lens, run_starts, run_ends,
+                flat_positions=None):
+    """Encode EVERY (term-)run of a sorted posting group in one
+    vectorized pass per stream (vbyte layout).  ``run_starts/run_ends``
+    index the run boundaries in the group arrays.  Returns per-run
+    lists ``(doc_blobs, tf_blobs, len_blobs, pos_blobs_or_None)`` —
+    byte-identical to calling :func:`encode_block` /
+    :func:`encode_positions` per run (VByte encodes values
+    independently, so one encoded stream slices cleanly at value
+    boundaries), but without a Python loop per run over numpy calls."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    l = np.asarray(doc_lens, dtype=np.int64)
+    starts = np.asarray(run_starts, dtype=np.int64)
+    ends = np.asarray(run_ends, dtype=np.int64)
+
+    gaps = d.copy()
+    gaps[1:] -= d[:-1]
+    gaps[starts] = d[starts]  # delta resets at run boundaries
+
+    def stream_slices(values):
+        blob, lens = vbyte_encode_with_value_lengths(values)
+        off = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        return [blob[off[s]:off[e]] for s, e in zip(starts, ends)]
+
+    doc_blobs = stream_slices(gaps)
+    tf_blobs = stream_slices(t)
+    len_blobs = stream_slices(l)
+
+    pos_blobs = None
+    if flat_positions is not None:
+        p = np.asarray(flat_positions, dtype=np.int64)
+        # posting i owns positions [pcum[i], pcum[i+1]) — tf positions each
+        pcum = np.zeros(t.size + 1, dtype=np.int64)
+        np.cumsum(t, out=pcum[1:])
+        dpos = p.copy()
+        if p.size:
+            dpos[1:] -= p[:-1]
+            post_starts = pcum[:-1][t > 0]
+            dpos[post_starts] = p[post_starts]  # delta resets per posting
+        blob, plens = vbyte_encode_with_value_lengths(dpos)
+        poff = np.zeros(plens.size + 1, dtype=np.int64)
+        np.cumsum(plens, out=poff[1:])
+        pos_blobs = [
+            blob[poff[pcum[s]]:poff[pcum[e]]] for s, e in zip(starts, ends)
+        ]
+    return doc_blobs, tf_blobs, len_blobs, pos_blobs
 
 
 def bm25_impact(tfs: np.ndarray, doc_lens: np.ndarray, avg_doc_len: float,

@@ -560,35 +560,56 @@ class IndexBuilder:
             change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
-            out = []
-            for s, e in zip(starts, ends):
-                d, t, l = doc_ids[s:e], tfs[s:e], lens[s:e]
-                doc_blob, tf_blob, len_blob = codec.encode_block(d, t, l, codec_name)
+            n_runs = starts.size
+
+            # per-run max impact + doc bounds, fully vectorized
+            imp = codec.bm25_impact(tfs, lens, avg_doc_len, k1, b)
+            max_imp = np.maximum.reduceat(imp, starts)
+
+            if codec_name == "vbyte":
+                # whole-group single-pass encode, byte-sliced per run
+                flat = None
                 if positional:
                     flat = (
-                        np.concatenate([np.asarray(p) for p in pos_col[s:e]])
-                        if e > s
+                        np.concatenate([np.asarray(p) for p in pos_col])
+                        if len(pos_col)
                         else np.empty(0, dtype=np.int64)
                     )
-                    pos_blob = codec.encode_positions(flat, t, codec_name)
-                else:
-                    pos_blob = None
-                imp = codec.bm25_impact(t, l, avg_doc_len, k1, b)
-                out.append(
-                    (
-                        terms[s],
-                        range_id,
-                        int(e - s),
-                        int(d[0]),
-                        int(d[-1]),
-                        float(imp.max()),
-                        doc_blob,
-                        tf_blob,
-                        len_blob,
-                        pos_blob,
-                        bucket,
-                    )
+                doc_blobs, tf_blobs, len_blobs, pos_blobs = codec.encode_runs(
+                    doc_ids, tfs, lens, starts, ends, flat
                 )
+            else:  # zlib comparator: per-run compression contexts
+                doc_blobs, tf_blobs, len_blobs, pos_blobs = [], [], [], []
+                for s, e in zip(starts, ends):
+                    db, tb, lb = codec.encode_block(
+                        doc_ids[s:e], tfs[s:e], lens[s:e], codec_name
+                    )
+                    doc_blobs.append(db)
+                    tf_blobs.append(tb)
+                    len_blobs.append(lb)
+                    if positional:
+                        fl = np.concatenate(
+                            [np.asarray(p) for p in pos_col[s:e]]
+                        )
+                        pos_blobs.append(
+                            codec.encode_positions(fl, tfs[s:e], codec_name)
+                        )
+                if not positional:
+                    pos_blobs = None
+
+            out = {
+                "term": terms[starts],
+                "range_id": np.full(n_runs, range_id, dtype=np.int64),
+                "n": (ends - starts).astype(np.int32),
+                "first_doc": doc_ids[starts].astype(np.int64),
+                "last_doc": doc_ids[ends - 1].astype(np.int64),
+                "max_impact": max_imp,
+                "doc_blob": doc_blobs,
+                "tf_blob": tf_blobs,
+                "len_blob": len_blobs,
+                "pos_blob": pos_blobs if pos_blobs is not None else [None] * n_runs,
+                "bucket": np.full(n_runs, bucket, dtype=np.int32),
+            }
             return pd.DataFrame(out, columns=out_cols)
 
         cols = ["bucket", "term", "doc_id", "tf", "doc_len"] + (

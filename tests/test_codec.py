@@ -164,3 +164,57 @@ def test_position_stream_empty_and_zero_counts():
     counts = np.array([2, 0, 1], dtype=np.int64)
     blob = encode_positions(flat, counts)
     assert decode_positions(blob, counts).tolist() == [3, 7, 2]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 40),  # run base doc id
+            st.integers(min_value=1, max_value=12),       # run length
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_runs_bit_identical_to_per_run_encode(run_specs):
+    """The whole-group single-pass encoder must produce byte-identical
+    blobs to encoding each run separately (incl. position streams)."""
+    import numpy as np
+
+    from elasticsearch_spark.functions.codec import (
+        encode_block,
+        encode_positions,
+        encode_runs,
+    )
+
+    rng = np.random.RandomState(7)
+    doc_ids, tfs, lens, starts, ends, flat_pos = [], [], [], [], [], []
+    pos_per_run = []
+    i = 0
+    for base, n in run_specs:
+        starts.append(i)
+        d = np.sort(rng.choice(np.arange(base, base + 10 * n), size=n, replace=False))
+        t = rng.randint(1, 6, size=n)
+        l = rng.randint(1, 900, size=n)
+        doc_ids.extend(d.tolist())
+        tfs.extend(t.tolist())
+        lens.extend(l.tolist())
+        run_flat = []
+        for tf in t:
+            run_flat.extend(np.sort(rng.randint(0, 1000, size=tf)).tolist())
+        pos_per_run.append((np.array(run_flat, dtype=np.int64), t))
+        flat_pos.extend(run_flat)
+        i += n
+        ends.append(i)
+
+    got_d, got_t, got_l, got_p = encode_runs(
+        doc_ids, tfs, lens, starts, ends, np.array(flat_pos, dtype=np.int64)
+    )
+    for r, (s, e) in enumerate(zip(starts, ends)):
+        want = encode_block(
+            np.array(doc_ids[s:e]), np.array(tfs[s:e]), np.array(lens[s:e])
+        )
+        assert (got_d[r], got_t[r], got_l[r]) == want, r
+        want_p = encode_positions(*pos_per_run[r])
+        assert got_p[r] == want_p, r
