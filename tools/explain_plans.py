@@ -94,7 +94,7 @@ def main():
     print("## from ReadSchema)\n", "=" * 70)
     from pyspark.sql import functions as F
 
-    blocks = wand._blocks.filter(F.col("term").isin([t1, t2]))
+    blocks = wand._block_sources[0][0].filter(F.col("term").isin([t1, t2]))
     (
         blocks.select("range_id", (F.col("max_impact")).alias("ub"))
         .groupBy("range_id")
