@@ -244,3 +244,50 @@ def test_tfidf_x3_variant_matches_recompute(spark, tmp_index_root):
     plan = eng.tfidf_x3_plan(some_term)
     for r in plan.collect():
         assert abs(r["score"] - got[(some_term, r["doc_id"])]) < 1e-12
+
+
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+@pytest.mark.parametrize("query", RANKED_QUERIES)
+def test_turbo_path_matches_distributed_plan(spark, index_dir, query, method):
+    """The driver-side turbo path (pyarrow pruned read + numpy scoring,
+    zero Spark jobs) must be result-identical to the distributed plan."""
+    turbo_eng = QueryEngine(spark, index_dir, turbo=True)
+    plan_eng = QueryEngine(spark, index_dir, turbo=False)
+    got = turbo_eng.ranked(query, k=10, method=method)
+    want = plan_eng.ranked(query, k=10, method=method)
+    assert got["total_hits"] == want["total_hits"], query
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], query
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+def test_turbo_cutover_falls_back_to_plan(spark, index_dir, monkeypatch):
+    """Above the Σdf cutover the turbo path must decline (return None)
+    so the distributed plan serves the query."""
+    eng = QueryEngine(spark, index_dir, turbo=True)
+    monkeypatch.setattr(QueryEngine, "TURBO_MAX_POSTINGS", 0)
+    from elasticsearch_spark.functions.tokenizer import tokenize
+
+    cands = [
+        r["term"]
+        for r in eng._dictionary.filter(F.col("idf") != 0)
+        .orderBy(F.col("df").desc())
+        .limit(20)
+        .collect()
+    ]
+    term = next(t for t in cands if tokenize(t) == [t])
+    assert eng._turbo_ranked(term, 10, "bm25", True) is None
+    # and the public API still answers via the plan
+    res = eng.ranked(term, k=10)
+    assert res["total_hits"] > 0 and len(res["results"]) > 0
+
+
+@pytest.mark.parametrize("query", BOOLEAN_QUERIES)
+def test_turbo_boolean_matches_plan(spark, index_dir, query):
+    """Driver-side boolean set algebra must equal the DataFrame plan
+    exactly (ids, truncation, and total count)."""
+    turbo = QueryEngine(spark, index_dir, turbo=True).boolean_topk(query, k=7)
+    plan = QueryEngine(spark, index_dir, turbo=False).boolean_topk(query, k=7)
+    assert turbo == plan, query
