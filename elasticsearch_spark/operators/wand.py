@@ -128,6 +128,7 @@ class WandEngine:
         )
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._idf_cache: Dict[str, float] = {}  # B6 idf cache (misses as 0.0)
+        self._df_cache: Dict[str, int] = {}
         try:
             self._manifest_mtime = os.path.getmtime(
                 os.path.join(index_dir, "manifest.json")
@@ -166,6 +167,7 @@ class WandEngine:
             n1 = float(self.doc_count + 1)
             for t in missing:
                 df_v = dfs.get(t, 0)
+                self._df_cache[t] = int(df_v) if df_v > 0 else 0
                 self._idf_cache[t] = (
                     math.log(n1 / (df_v + 1)) if df_v > 0 else 0.0
                 )
@@ -279,7 +281,118 @@ class WandEngine:
         )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
+    # turbo cutover: max Σ df served by the driver-side kernel
+    TURBO_MAX_POSTINGS = 2_000_000
+
+    def _turbo_topk(self, query: str, k: int) -> Optional[list]:
+        """Block-max WAND evaluated ON THE DRIVER for small slices: a
+        pyarrow pruned read of the term's block runs (bucket partition
+        pruning + term predicate; blob columns only for surviving
+        ranges' rows), then the same UB-prune + decode-score algorithm
+        in numpy.  Identical results to the distributed phases —
+        lossless pruning with the per-source avgdl-drift UB scale and
+        tombstone skip.  Returns None above the cutover or on read
+        failure (callers fall back to the Spark path)."""
+        if os.environ.get("SPARK_GRAFT_TURBO", "1") == "0":
+            return None
+        weights = self._weights(query)
+        if not weights:
+            return []
+        terms = sorted(weights)
+        if sum(self._df_cache.get(t, 0) for t in terms) > self.TURBO_MAX_POSTINGS:
+            return None
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return self._turbo_topk_impl(terms, weights, buckets, k)
+
+    def _turbo_topk_impl(self, terms, weights, buckets, k) -> Optional[list]:
+        import pyarrow.dataset as pads
+
+        from . import reader as R
+
+        cols = ["term", "range_id", "max_impact", "doc_blob", "tf_blob", "len_blob"]
+        sources = [
+            (os.path.join(self.index_dir, "blocks"), scale)
+            for _df, scale in [self._block_sources[0]]
+        ]
+        for seg, (_df, scale) in zip(
+            R.delta_segments(self._manifest), self._block_sources[1:]
+        ):
+            sources.append(
+                (os.path.join(self.index_dir, "segments", seg, "blocks"), scale)
+            )
+        rows = []  # (ub_scale, term, range_id, max_impact, blobs...)
+        try:
+            for path, scale in sources:
+                ds = pads.dataset(path, partitioning="hive")
+                expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
+                    terms
+                )
+                tbl = ds.to_table(columns=cols, filter=expr)
+                for i in range(tbl.num_rows):
+                    rows.append((scale, *[tbl.column(c)[i].as_py() for c in cols]))
+        except Exception:
+            return None
+
+        # phase 0 (driver): per-range upper bounds with per-source scale
+        ub: Dict[int, float] = {}
+        for scale, term, rid, mi, _db, _tb, _lb in rows:
+            ub[rid] = ub.get(rid, 0.0) + weights[term] * mi * scale
+        if not ub:
+            return []
+        tomb = (
+            np.asarray(sorted(self._tombstones), dtype=np.int64)
+            if self._tombstones
+            else np.empty(0, dtype=np.int64)
+        )
+
+        def score_range(rid) -> tuple:
+            base = rid << self.range_bits
+            arr = np.zeros(1 << self.range_bits, dtype=np.float64)
+            for scale, term, r, _mi, db, tb, lb in sorted(
+                (x for x in rows if x[2] == rid), key=lambda x: x[1]
+            ):
+                w = weights[term]
+                d, t, l = codec.decode_block(db, tb, lb, self.codec)
+                ok = l > 0
+                if tomb.size:
+                    ok &= ~np.isin(d, tomb)
+                imp = codec.bm25_impact(t[ok], l[ok], self.avg_doc_len, self.k1, self.b)
+                np.add.at(arr, d[ok] - base, w * imp)
+            nz = np.nonzero(arr)[0]
+            return nz + base, arr[nz]
+
+        # phase 1: threshold from the top-S UB ranges
+        by_ub = sorted(ub, key=lambda r: -ub[r])
+        docs_all, scores_all = [], []
+        for rid in by_ub[: self.SEED_RANGES]:
+            d, s = score_range(rid)
+            docs_all.append(d)
+            scores_all.append(s)
+        cand_d = np.concatenate(docs_all) if docs_all else np.empty(0, np.int64)
+        cand_s = np.concatenate(scores_all) if scores_all else np.empty(0)
+        if cand_d.size >= k:
+            theta0 = np.sort(cand_s)[::-1][k - 1]
+        else:
+            theta0 = 0.0
+
+        # phase 2: only surviving ranges (UB >= theta0, lossless)
+        for rid in by_ub[self.SEED_RANGES:]:
+            if ub[rid] < theta0:
+                continue
+            d, s = score_range(rid)
+            docs_all.append(d)
+            scores_all.append(s)
+        cand_d = np.concatenate(docs_all)
+        cand_s = np.concatenate(scores_all)
+        order = np.lexsort((cand_d, -cand_s))[:k]
+        return [
+            {"doc_id": int(cand_d[i]), "score": float(cand_s[i])} for i in order
+        ]
+
     def topk(self, query: str, k: int = 10) -> dict:
+        turbo = self._turbo_topk(query, k)
+        if turbo is not None:
+            return {"query": query, "total_hits": None, "results": turbo}
         # AQE off for the small interactive job (see QueryEngine._interactive)
         from ..session import interactive_aqe_off
 

@@ -146,3 +146,25 @@ def test_three_phase_path_rank_identity(spark, index_dir, oracle_index, query):
     ], query
     for g, w in zip(got["results"], want["results"]):
         assert abs(g["score"] - w["score"]) < 1e-9
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_turbo_matches_spark_phases(spark, index_dir, query):
+    """The driver-side turbo kernel (pyarrow block read + numpy UB-prune
+    + decode-score) must equal the distributed topk_df phases exactly."""
+    wand = WandEngine(spark, index_dir)
+    turbo = wand._turbo_topk(query, 10)
+    assert turbo is not None  # small corpus: always under the cutover
+    want = wand.topk_df(query, 10).collect()
+    assert [r["doc_id"] for r in turbo] == [r["doc_id"] for r in want], query
+    for g, w in zip(turbo, want):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+def test_wand_turbo_cutover_declines(spark, index_dir, monkeypatch):
+    wand = WandEngine(spark, index_dir)
+    monkeypatch.setattr(WandEngine, "TURBO_MAX_POSTINGS", 0)
+    q = QUERIES[0]
+    wand._weights(q)  # populate df cache
+    if any(wand._df_cache.get(t, 0) > 0 for t in wand._terms(q)):
+        assert wand._turbo_topk(q, 10) is None
