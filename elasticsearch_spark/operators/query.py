@@ -709,6 +709,72 @@ class QueryEngine:
         }
 
     # --------------------------------------------------------------- batch
+    def _turbo_batch(self, queries: Sequence[str], k: int,
+                     method: str) -> Optional[Dict[str, list]]:
+        """Driver-side batch scoring: ONE pyarrow pruned read over the
+        union of all queries' terms, per-term (doc, impact) arrays
+        computed once, then per-query weighted accumulation in numpy.
+        Declines (None) above the cutover on Σ df over all live terms."""
+        if not self.turbo:
+            return None
+        import numpy as np
+        from collections import Counter
+
+        per_query = {q: Counter(self._terms(q)) for q in queries}
+        all_terms = sorted({t for c in per_query.values() for t in c})
+        idf_map = self.term_idf(all_terms)
+        live = sorted(t for t in all_terms if idf_map.get(t, 0.0) != 0.0)
+        out: Dict[str, list] = {q: [] for q in queries}
+        if not live:
+            return out
+        if sum(self._df_cache.get(t, 0) for t in live) > self.TURBO_MAX_POSTINGS:
+            return None
+        try:
+            term_a, doc, tf, dl = self._postings_point_read(live)
+        except Exception:
+            return None
+        ok = dl > 0
+        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
+        tf_f = tf.astype(np.float64)
+        if method == "bm25":
+            k1, b = self.k1, self.b
+            impact = (tf_f * (k1 + 1)) / (
+                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / self.avg_doc_len))
+            )
+        else:
+            impact = tf_f / dl.astype(np.float64)
+        # per-term slices computed once, reused across queries
+        order = np.argsort(term_a, kind="stable")
+        term_s, doc_s, imp_s = term_a[order], doc[order], impact[order]
+        bounds: Dict[str, tuple] = {}
+        if term_s.size:
+            change = np.nonzero(term_s[1:] != term_s[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [term_s.size]))
+            for s, e in zip(starts, ends):
+                bounds[term_s[s]] = (s, e)
+        for q in queries:
+            counts = per_query[q]
+            segs_d, segs_s = [], []
+            for t, mult in counts.items():
+                w = idf_map.get(t, 0.0)
+                if w == 0.0 or t not in bounds:
+                    continue
+                s, e = bounds[t]
+                segs_d.append(doc_s[s:e])
+                segs_s.append((w * float(mult)) * imp_s[s:e])
+            if not segs_d:
+                continue
+            d_all = np.concatenate(segs_d)
+            s_all = np.concatenate(segs_s)
+            docs_u, inv = np.unique(d_all, return_inverse=True)
+            scores = np.bincount(inv, weights=s_all)
+            top = np.lexsort((docs_u, -scores))[:k]
+            out[q] = [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])} for i in top
+            ]
+        return out
+
     def batch_ranked(self, queries: Sequence[str], k: int = 10,
                      method: str = "bm25") -> Dict[str, list]:
         """Score MANY free-text queries in one Spark job — the query-
@@ -720,7 +786,14 @@ class QueryEngine:
 
         Returns {query: [{doc_id, score}, ...]} (ranked, reference
         tie-break).  Queries with no indexed terms map to [].
+
+        Small total slices are served by the driver-side turbo batch
+        (one pruned read, per-query numpy accumulation — zero Spark
+        jobs); above the cutover the broadcast-join plan below runs.
         """
+        res = self._turbo_batch(queries, k, method)
+        if res is not None:
+            return res
         from collections import Counter
 
         per_query_terms = {q: Counter(self._terms(q)) for q in queries}

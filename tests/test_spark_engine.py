@@ -291,3 +291,16 @@ def test_turbo_boolean_matches_plan(spark, index_dir, query):
     turbo = QueryEngine(spark, index_dir, turbo=True).boolean_topk(query, k=7)
     plan = QueryEngine(spark, index_dir, turbo=False).boolean_topk(query, k=7)
     assert turbo == plan, query
+
+
+def test_turbo_batch_matches_plan(spark, index_dir):
+    """Driver-side batch scoring must equal the broadcast-join batch
+    plan (ids and scores) for every query in one call."""
+    qs = RANKED_QUERIES + BOOLEAN_QUERIES[:0]
+    turbo = QueryEngine(spark, index_dir, turbo=True).batch_ranked(qs, k=10)
+    plan = QueryEngine(spark, index_dir, turbo=False).batch_ranked(qs, k=10)
+    assert set(turbo) == set(plan)
+    for q in qs:
+        assert [r["doc_id"] for r in turbo[q]] == [r["doc_id"] for r in plan[q]], q
+        for g, w in zip(turbo[q], plan[q]):
+            assert abs(g["score"] - w["score"]) < 1e-9, q
