@@ -565,10 +565,95 @@ class QueryEngine:
             )
         return phrase_match(self._positional_term_postings, terms)
 
+    def _turbo_phrase(self, terms: List[str], k: int) -> Optional[dict]:
+        """Driver-side phrase evaluation for small slices: pyarrow
+        pruned read of the terms' block runs, decode doc/tf/position
+        streams in numpy, shifted-position intersection per candidate
+        doc (identical adjacency semantics to operators/phrase.py)."""
+        if not self.turbo:
+            return None
+        self.term_idf(terms)  # populate live df cache
+        uniq = sorted(set(terms))
+        dfs = [self._df_cache.get(t, 0) for t in uniq]
+        if any(d == 0 for d in dfs):
+            return {"query": None, "total_hits": 0, "results": []}
+        if sum(dfs) > self.TURBO_MAX_POSTINGS:
+            return None
+        try:
+            import numpy as np
+            import pyarrow.dataset as pads
+
+            from ..functions import codec as C
+            from .reader import delta_segments
+
+            codec_name = self.stats["config"].get("codec", "vbyte")
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in uniq})
+            paths = [os.path.join(self.index_dir, "blocks")] + [
+                os.path.join(self.index_dir, "segments", s, "blocks")
+                for s in delta_segments(self._manifest)
+            ]
+            cols = ["term", "doc_blob", "tf_blob", "len_blob", "pos_blob"]
+            per_term: Dict[str, Dict[int, "np.ndarray"]] = {t: {} for t in uniq}
+            tombs = set(self._tombstones)
+            for p in paths:
+                ds = pads.dataset(p, partitioning="hive")
+                expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
+                    uniq
+                )
+                tbl = ds.to_table(columns=cols, filter=expr)
+                for i in range(tbl.num_rows):
+                    t = tbl.column("term")[i].as_py()
+                    pos_blob = tbl.column("pos_blob")[i].as_py()
+                    if pos_blob is None:
+                        return None  # pre-position-codec blocks: use plan
+                    d, tf, _l = C.decode_block(
+                        tbl.column("doc_blob")[i].as_py(),
+                        tbl.column("tf_blob")[i].as_py(),
+                        tbl.column("len_blob")[i].as_py(),
+                        codec_name,
+                    )
+                    flat = C.decode_positions(pos_blob, tf, codec_name)
+                    splits = np.split(flat, np.cumsum(tf)[:-1])
+                    for doc, pos in zip(d.tolist(), splits):
+                        if doc not in tombs:
+                            per_term[t][doc] = pos
+        except Exception:
+            return None
+
+        cand = set(per_term[terms[0]])
+        for t in terms[1:]:
+            cand &= set(per_term[t])
+        results = []
+        for doc in cand:
+            p = per_term[terms[0]][doc]
+            for i, t in enumerate(terms[1:], start=1):
+                p = np.intersect1d(p, per_term[t][doc] - i)
+                if p.size == 0:
+                    break
+            if p.size:
+                results.append((doc, int(p.size), np.sort(p).tolist()))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return {
+            "query": None,
+            "total_hits": len(results),
+            "results": [
+                {"doc_id": int(d), "score": float(n)} for d, n, _p in results[:k]
+            ],
+        }
+
     def phrase(self, phrase: str, k: int = 10) -> dict:
         """Reference result shape; phrase hits ranked by occurrence
         count then doc_id (no BM25 — the grammar's PHRASE op is set-
-        valued, README.md:39-48)."""
+        valued, README.md:39-48).  Small slices are served by the
+        driver-side turbo path (zero Spark jobs)."""
+        self._refresh_if_stale()
+        if self.stats["config"].get("positional"):
+            terms = self._terms(phrase)
+            if terms:
+                res = self._turbo_phrase(terms, k)
+                if res is not None:
+                    res["query"] = phrase
+                    return res
         # same single-job Observation trick as ranked(): count rides the
         # top-k action, no persist + count double action
         plan = self.phrase_plan(phrase)

@@ -161,3 +161,12 @@ def test_phrase_on_updated_index_matches_rebuild(spark, tmp_index_root):
 
     for phrase in ["machine learning", "sparkhead", "zo ta"]:
         assert by_url(d, phrase) == by_url(rb, phrase), phrase
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_turbo_phrase_matches_plan(spark, pos_engine, phrase):
+    """Driver-side phrase (block decode + shifted intersection in numpy)
+    must equal the DataFrame plan path exactly."""
+    turbo_eng = QueryEngine(spark, pos_engine.index_dir, turbo=True)
+    plan_eng = QueryEngine(spark, pos_engine.index_dir, turbo=False)
+    assert turbo_eng.phrase(phrase, k=10) == plan_eng.phrase(phrase, k=10), phrase
