@@ -797,7 +797,8 @@ class IndexBuilder:
 
     def update_index(self, add: Optional[DataFrame] = None,
                      remove_urls: Optional[List[str]] = None,
-                     compact: object = "auto") -> dict:
+                     compact: object = "auto",
+                     segment_name: Optional[str] = None) -> dict:
         """O(delta) incremental update (B14; reference interface
         ``index_base.py:65-67`` — only the ES backend implemented it,
         ``elasticsearch_indexer.py:151-180``).
@@ -820,6 +821,10 @@ class IndexBuilder:
         manifest = self._load_manifest()
         if not manifest["segments"]:
             raise ValueError("update_index requires an existing index; use build()")
+        if segment_name is not None and segment_name in manifest["segments"]:
+            # idempotent replay guard (streaming micro-batch re-delivery
+            # after a crash): the named segment already committed
+            return manifest
         t_start = time.time()
         stats = self._load_stats()
         doc_count = int(stats["doc_count"])
@@ -906,7 +911,7 @@ class IndexBuilder:
                 # caller-managed ids (e.g. the driver testdata shape);
                 # the caller guarantees no collision with live ids
                 new_docs = self.prepare_docs(add)
-            seg_name = f"seg_{len(manifest['segments']):05d}"
+            seg_name = segment_name or f"seg_{len(manifest['segments']):05d}"
             # tokenize-once for the segment (same rationale as build())
             tok_path = self._path("segments", seg_name, "tokens")
             new_docs.write.mode("overwrite").parquet(tok_path)

@@ -83,3 +83,49 @@ def stream_build(spark: SparkSession, input_dir: str, index_dir: str,
         }
         builder._save_manifest(manifest)
     return manifest
+
+
+def stream_update(spark: SparkSession, input_dir: str, index_dir: str,
+                  config: IndexConfig = IndexConfig(),
+                  checkpoint_dir: Optional[str] = None,
+                  max_files_per_trigger: int = 4,
+                  compact: object = "auto") -> dict:
+    """CONTINUOUS ingestion into an EXISTING index via the O(delta)
+    update path: each micro-batch commits as a self-contained delta
+    segment (docs + postings + dictionary partial + blocks) and is
+    immediately queryable through the live read-time-merged view — no
+    final merge step; ``compact`` applies the builder's LSM policy.
+
+    Exactly-once under replay: the Spark streaming checkpoint tracks
+    offsets, and the batch-id-derived segment name makes a re-delivered
+    micro-batch a no-op (``update_index`` skips committed segments).
+    This is the real-time indexing shape: at 10^12 docs a micro-batch
+    touches only its own delta tables, never the base index.
+    """
+    builder = IndexBuilder(spark, index_dir, config)
+    if not builder._load_manifest()["segments"]:
+        raise ValueError("stream_update requires an existing index; use build()"
+                         " or stream_build first")
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_upd_checkpoint")
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        builder.update_index(
+            add=batch_df,
+            compact=compact,
+            segment_name=f"stream_u_{batch_id:05d}",
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return builder._load_manifest()

@@ -85,3 +85,77 @@ def test_stream_build_matches_batch(spark, tmp_index_root):
     a = se.ranked("machine learning", k=5)["results"]
     b = be.ranked("machine learning", k=5)["results"]
     assert [round(r["score"], 9) for r in a] == [round(r["score"], 9) for r in b]
+
+
+def test_stream_update_commits_delta_segments(spark, tmp_index_root):
+    """Continuous O(delta) ingestion: each micro-batch becomes an
+    immediately-queryable delta segment; the base index is never
+    rewritten; the final live view equals a one-shot batch build."""
+    import pyspark.sql.types as T
+
+    from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+    from elasticsearch_spark.operators.query import QueryEngine
+    from elasticsearch_spark.streaming.ingest import stream_update
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = corpus_rows(200)
+    base = spark.createDataFrame(rows[:140], schema)
+    extra = spark.createDataFrame(rows[140:], schema)
+
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=5)
+    idx = os.path.join(tmp_index_root, "stream_upd_idx")
+    IndexBuilder(spark, idx, cfg).build(base)
+
+    def _tree_states(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = {t: _tree_states(os.path.join(idx, t)) for t in ("postings", "blocks")}
+
+    stream_in = os.path.join(tmp_index_root, "stream_upd_in")
+    extra.repartition(3).write.mode("overwrite").parquet(stream_in)
+    manifest = stream_update(
+        spark, stream_in, idx, cfg, max_files_per_trigger=1, compact=False
+    )
+    assert len(manifest["delta_segments"]) >= 2  # several micro-batches
+    after = {t: _tree_states(os.path.join(idx, t)) for t in ("postings", "blocks")}
+    assert before == after  # base untouched
+
+    batch_dir = os.path.join(tmp_index_root, "stream_upd_batch")
+    IndexBuilder(spark, batch_dir, cfg).build(base.unionByName(extra))
+    se, be = QueryEngine(spark, idx), QueryEngine(spark, batch_dir)
+    assert se.doc_count == be.doc_count
+    assert se.avg_doc_len == pytest.approx(be.avg_doc_len, abs=1e-9)
+    assert se.stats["n_terms"] == be.stats["n_terms"]
+    assert se.stats["n_postings"] == be.stats["n_postings"]
+
+    from elasticsearch_spark.operators.reader import live_docs
+
+    def ranked_urls(eng, d, q):
+        urls = {r["doc_id"]: r["url"] for r in live_docs(spark, d).collect()}
+        return [
+            (urls[r["doc_id"]], round(r["score"], 9))
+            for r in eng.ranked(q, k=10)["results"]
+        ]
+
+    for q in ["machine learning", "sparkhead", "zo ta ne"]:
+        assert ranked_urls(se, idx, q) == ranked_urls(be, batch_dir, q), q
+
+    # replayed micro-batch is a no-op (idempotent segment commit)
+    n_segments = len(manifest["segments"])
+    b = IndexBuilder(spark, idx, cfg)
+    b.update_index(add=extra, segment_name="stream_u_00000", compact=False)
+    assert len(b._load_manifest()["segments"]) == n_segments
