@@ -717,13 +717,24 @@ class QueryEngine:
             est += self.doc_count
         if est > self.TURBO_MAX_POSTINGS:
             return None
+        import numpy as np
+
+        empty = np.empty(0, dtype=np.int64)
         try:
-            term_sets: Dict[str, set] = {t: set() for t in terms}
+            # sorted-unique doc-id array per term (vectorized, no
+            # per-row Python): postings rows are unique per (term, doc)
+            term_arrays: Dict[str, np.ndarray] = {t: empty for t in terms}
             if terms:
                 term_a, doc, _tf, _dl = self._postings_point_read(terms)
-                for t, d in zip(term_a, doc):
-                    term_sets[t].add(int(d))
-            universe: set = set()
+                order = np.argsort(term_a, kind="stable")
+                term_s, doc_s = term_a[order], doc[order]
+                if term_s.size:
+                    change = np.nonzero(term_s[1:] != term_s[:-1])[0] + 1
+                    starts = np.concatenate(([0], change))
+                    ends = np.concatenate((change, [term_s.size]))
+                    for s, e in zip(starts, ends):
+                        term_arrays[term_s[s]] = np.sort(doc_s[s:e])
+            universe = empty
             if needs_universe:
                 import pyarrow.dataset as pads
 
@@ -733,37 +744,46 @@ class QueryEngine:
                     os.path.join(self.index_dir, "segments", s, "docs")
                     for s in delta_segments(self._manifest)
                 ]
+                parts = []
                 for p in paths:
                     tbl = pads.dataset(p).to_table(columns=["doc_id"])
-                    universe.update(tbl.column("doc_id").to_pylist())
-                universe.difference_update(self._tombstones)
+                    parts.append(
+                        tbl.column("doc_id").to_numpy(zero_copy_only=False)
+                    )
+                universe = np.unique(np.concatenate(parts).astype(np.int64))
+                if self._tombstones:
+                    universe = np.setdiff1d(
+                        universe,
+                        np.asarray(self._tombstones, dtype=np.int64),
+                        assume_unique=True,
+                    )
         except Exception:
             return None
 
-        empty: set = set()
+        # numpy set algebra over sorted-unique arrays, mirroring
+        # evaluate_rpn_df (NOT pops one operand; missing operand = empty)
         stack: list = []
 
-        def pop() -> set:
+        def pop() -> "np.ndarray":
             return stack.pop() if stack else empty
 
         for tok in rpn:
             if tok == "AND":
-                b_s, a_s = pop(), pop()
-                stack.append(a_s & b_s)
+                b_a, a_a = pop(), pop()
+                stack.append(np.intersect1d(a_a, b_a, assume_unique=True))
             elif tok == "OR":
-                b_s, a_s = pop(), pop()
-                stack.append(a_s | b_s)
+                b_a, a_a = pop(), pop()
+                stack.append(np.union1d(a_a, b_a))
             elif tok == "NOT":
-                a_s = pop()
-                stack.append(universe - a_s)
+                a_a = pop()
+                stack.append(np.setdiff1d(universe, a_a, assume_unique=True))
             else:
-                stack.append(term_sets.get(tok, empty))
-        result = stack[0] if stack else empty
-        ids = sorted(result)
+                stack.append(term_arrays.get(tok, empty))
+        ids = stack[0] if stack else empty  # already sorted ascending
         return {
             "query": query,
-            "total_hits": len(ids),
-            "results": [{"doc_id": d, "score": 1.0} for d in ids[:k]],
+            "total_hits": int(ids.size),
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:k]],
         }
 
     def boolean_topk(self, query: str, k: int = 10) -> dict:
