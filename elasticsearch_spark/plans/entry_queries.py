@@ -902,6 +902,29 @@ def embed_cosine_topk(spark, sf_dir):
     )
 
 
+@register("ivf_probe_all_topk", ORACLE_SQL["embed_cosine_topk"])
+def ivf_probe_all_topk(spark, sf_dir):
+    """IVF ANN machinery proven against the exact oracle: probing ALL
+    cells degrades IVF to brute force, so the full pipeline (seeded
+    k-means coarse quantizer -> cell assignment -> probe -> exact cosine
+    on candidates) must reproduce the brute-force cosine top-10
+    exactly.  The pruned path (n_probe < n_cells) is covered by pytest
+    recall/partition-pruning tests."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_cells = 4
+    cents = kmeans_centroids(emb, n_cells=n_cells, sample_size=2000, seed=7)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    res = ivf_topk(emb, q, cents, k=1_000_000, n_probe=n_cells)
+    return (
+        res.filter(F.col("id") != 0)
+        .select(F.col("id").alias("vec_id"), F.round("cosine", 6).alias("cos_r"))
+        .orderBy(F.col("cos_r").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     """SELECT a.vec_id AS a, b.vec_id AS b,
