@@ -247,13 +247,25 @@ class WandEngine:
         for p in ub_parts[1:]:
             ub_all = ub_all.unionByName(p)
         range_ub = ub_all.groupBy("range_id").agg(F.sum("ub").alias("ub"))
-        # seed with the top-S UB ranges (not just 1): the tighter theta0
-        # costs nothing extra — still one kernel job — and shrinks the
-        # phase-2 survivor set
-        seed_rids = [
-            r["range_id"]
-            for r in range_ub.orderBy(F.col("ub").desc()).limit(self.SEED_RANGES).collect()
-        ]
+        # collect ALL (range_id, ub) pairs when the range count is
+        # moderate: one row per candidate doc-range of the QUERY TERMS
+        # (bounded by Σ df / range size, far below the corpus range
+        # count), so the phase-0 job yields the seeds AND lets phase 2
+        # filter survivors by a driver-side isin instead of recomputing
+        # the metadata agg in a broadcast join.  Falls back to the
+        # join-shaped plan above the collect cap.
+        UB_COLLECT_MAX = 100_000
+        ub_rows = None
+        if n_ranges_max <= UB_COLLECT_MAX:
+            ub_rows = {r["range_id"]: r["ub"] for r in range_ub.collect()}
+            seed_rids = sorted(ub_rows, key=lambda r: -ub_rows[r])[: self.SEED_RANGES]
+        else:
+            seed_rids = [
+                r["range_id"]
+                for r in range_ub.orderBy(F.col("ub").desc())
+                .limit(self.SEED_RANGES)
+                .collect()
+            ]
         if not seed_rids:
             return empty
 
@@ -273,9 +285,23 @@ class WandEngine:
         )
         theta0 = seed[-1]["score"] if len(seed) >= k else 0.0
 
-        # phase 2: kernel on surviving ranges only
-        survivors = range_ub.filter(F.col("ub") >= theta0).select("range_id")
-        cand = blocks.join(F.broadcast(survivors), "range_id")
+        # phase 2: kernel on surviving ranges only (UB >= theta0 keeps
+        # boundary ties — lossless).  With the collected UB map the
+        # survivor set is a literal isin filter (partition/row-group
+        # prunable, no second metadata aggregation); otherwise the
+        # broadcast-join shape re-derives it in-plan.
+        if ub_rows is not None and (
+            len(surviving := [r for r, u in ub_rows.items() if u >= theta0]) <= 5000
+        ):
+            cand = blocks.filter(F.col("range_id").isin(surviving))
+        elif ub_rows is not None:
+            survivors_df = self.spark.createDataFrame(
+                [(int(r),) for r in surviving], "range_id long"
+            )
+            cand = blocks.join(F.broadcast(survivors_df), "range_id")
+        else:
+            survivors = range_ub.filter(F.col("ub") >= theta0).select("range_id")
+            cand = blocks.join(F.broadcast(survivors), "range_id")
         scored = cand.groupBy("range_id").applyInPandas(
             lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
         )
