@@ -43,7 +43,7 @@ import math
 import os
 import shutil
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 from typing import Iterator, List, Optional
 
 import pandas as pd
@@ -127,6 +127,62 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def _apply_compaction_commit(index_dir: str, commit: dict) -> None:
+    """Roll a committed compaction forward to completion.  Idempotent:
+    every step checks on-disk state first, so a crash at ANY point is
+    repaired by re-running (``recover_compaction`` does exactly that on
+    the next manifest load).  The table swap is two cheap renames per
+    table — never a delete-then-replace window in which the table is
+    missing — and the manifest/stats rewrites come verbatim from the
+    commit record, so a half-applied run cannot mix generations."""
+
+    def p(*parts: str) -> str:
+        return os.path.join(index_dir, *parts)
+
+    for name in commit["swap"]:
+        cur, new, bak = p(name), p(name + ".new"), p(name + ".old")
+        if os.path.exists(new):
+            if os.path.exists(cur) and not os.path.exists(bak):
+                os.rename(cur, bak)
+            if not os.path.exists(cur):
+                os.rename(new, cur)
+    # bookkeeping rides the commit record (atomic rewrite of both files)
+    for fname, payload in (
+        ("manifest.json", commit["manifest"]),
+        ("stats.json", commit["stats"]),
+    ):
+        tmp = p(fname) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, p(fname))
+    for name in commit["swap"]:
+        bak = p(name + ".old")
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+    if os.path.isdir(p("deltas")):
+        shutil.rmtree(p("deltas"))
+    if os.path.exists(p("compact_commit.json")):
+        os.remove(p("compact_commit.json"))
+
+
+def recover_compaction(index_dir: str) -> None:
+    """Finish a compaction interrupted after its commit point.
+
+    ``compact()`` writes every merged table to ``<name>.new``, then
+    atomically records ``compact_commit.json`` (the COMMIT POINT), then
+    swaps tables and rewrites the bookkeeping.  A crash BEFORE the
+    commit record leaves the live index byte-untouched (stray ``.new``
+    dirs are simply overwritten by the next compact); a crash AFTER it
+    is rolled forward here.  Called from every manifest load — one
+    ``exists()`` check when nothing is pending."""
+    commit_p = os.path.join(index_dir, "compact_commit.json")
+    if not os.path.exists(commit_p):
+        return
+    with open(commit_p) as f:
+        commit = json.load(f)
+    _apply_compaction_commit(index_dir, commit)
+
+
 def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 0) -> DataFrame:
     """Dense sequential doc_id by global ``order_col`` order, without a
     single-partition window: range-partition on the key, count rows per
@@ -170,6 +226,22 @@ class IndexBuilder:
         self.config = config
         self.metrics: List[dict] = []
 
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str, **overrides) -> "IndexBuilder":
+        """Builder bound to an EXISTING index, config loaded from its
+        stats.json — the safe constructor for update/compact/stream
+        callers.  A hand-passed config that disagrees with the stored
+        one would write delta segments the readers misread (e.g. bucket
+        ids hashed under a different ``n_buckets`` silently vanish from
+        pruned scans); ``update_index`` independently validates this.
+        ``overrides`` may adjust build-only knobs (shuffle_salt, ...)."""
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stored = json.load(f).get("config") or {}
+        known = {f.name for f in fields(IndexConfig)}
+        cfg = {k: v for k, v in stored.items() if k in known}
+        cfg.update(overrides)
+        return cls(spark, index_dir, IndexConfig(**cfg))
+
     # ------------------------------------------------------------ helpers
     def _path(self, *parts: str) -> str:
         return os.path.join(self.index_dir, *parts)
@@ -178,6 +250,7 @@ class IndexBuilder:
         return self._path("manifest.json")
 
     def _load_manifest(self) -> dict:
+        recover_compaction(self.index_dir)
         if os.path.exists(self._manifest_path()):
             with open(self._manifest_path()) as f:
                 return json.load(f)
@@ -513,6 +586,7 @@ class IndexBuilder:
             # stay a valid upper bound (operators/reader.py)
             "base_avgdl_at_encode": avg_doc_len,
             "n_terms": n_terms,
+            "n_terms_exact": True,
             "n_postings": n_postings,
             "config": asdict(cfg),
             "build_metrics": self.metrics,
@@ -740,7 +814,11 @@ class IndexBuilder:
         if all_done and not manifest.get("finalized"):
             stats = self.finalize(manifest)
             manifest["finalized"] = True
-            manifest["stats"] = {k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")}
+            manifest["stats"] = {k: stats[k] for k in self.STATS_KEYS}
+            # checkpoint the id high-water mark so the FIRST incremental
+            # update needs no O(corpus) max(doc_id) scan of the base
+            if tok_stats and tok_stats.get("mx") is not None:
+                manifest["next_doc_id"] = int(tok_stats["mx"]) + 1
             manifest["total_seconds"] = round(time.time() - t_start, 3)
             self._save_manifest(manifest)
         return manifest
@@ -751,9 +829,48 @@ class IndexBuilder:
     COMPACT_MAX_DELTA_SEGMENTS = 8
     COMPACT_MAX_TOMBSTONES = 1_000_000
 
+    # corpus-stat keys that ride the manifest (the single atomic commit
+    # point for incremental updates); stats.json is rewritten AFTER the
+    # manifest and reconciled from it on load, so a crash between the
+    # two writes can never double-count a replayed micro-batch
+    STATS_KEYS = ("doc_count", "sum_doc_len", "avg_doc_len", "n_terms",
+                  "n_postings", "n_terms_exact")
+
+    # config fields that shape the on-disk layout / query semantics; an
+    # update run with a different value would write delta segments the
+    # readers misinterpret (e.g. bucket values hashed under a different
+    # n_buckets silently drop from pruned scans) — wrong results, no error
+    SEMANTIC_CONFIG = ("n_buckets", "doc_range_bits", "k1", "b", "lang",
+                      "pretokenized", "use_html", "positional", "codec",
+                      "store_tfidf")
+
+    def _check_config_matches(self) -> None:
+        stored = self._load_stats().get("config") or {}
+        mine = asdict(self.config)
+        diffs = {
+            k: (stored.get(k), mine.get(k))
+            for k in self.SEMANTIC_CONFIG
+            if k in stored and stored.get(k) != mine.get(k)
+        }
+        if diffs:
+            raise ValueError(
+                "IndexConfig mismatch vs the existing index at "
+                f"{self.index_dir!r}: {diffs} (stored, passed). Updating "
+                "with a different layout config writes delta segments the "
+                "readers would silently misread — construct the builder "
+                "with IndexBuilder.open() to adopt the stored config."
+            )
+
     def _load_stats(self) -> dict:
         with open(self._path("stats.json")) as f:
-            return json.load(f)
+            stats = json.load(f)
+        # manifest.json is the commit point (written atomically first);
+        # if a crash separated the manifest and stats writes, the
+        # manifest copy of the corpus stats wins
+        manifest = self._load_manifest()
+        for k, v in (manifest.get("stats") or {}).items():
+            stats[k] = v
+        return stats
 
     def _save_stats(self, stats: dict) -> None:
         with open(self._path("stats.json"), "w") as f:
@@ -773,9 +890,18 @@ class IndexBuilder:
             blocks_path, self._path("segments", seg_name, "dictionary"), 0
         )
 
-    def _recount_terms(self, manifest: dict) -> int:
-        """Live distinct-term count: one O(vocab) job over the signed
-        dictionary sources (never O(postings))."""
+    def live_term_count(self, manifest: Optional[dict] = None) -> int:
+        """EXACT live distinct-term count: one O(vocabulary) job over the
+        signed dictionary sources (never O(postings)).
+
+        Deliberately NOT called by ``update_index``: between compactions
+        ``stats['n_terms']`` keeps the last exact (build/compact-time)
+        value with ``n_terms_exact=False``, because recounting per update
+        would put an O(vocab) aggregation on the otherwise-O(delta)
+        streaming ingest path (one per micro-batch).  Callers that need
+        the exact live count pay for it explicitly here; ``compact()``
+        restores exactness as a side effect of its dictionary pass."""
+        manifest = manifest or self._load_manifest()
         from .reader import dictionary_sources
 
         parts = []
@@ -825,6 +951,10 @@ class IndexBuilder:
             # idempotent replay guard (streaming micro-batch re-delivery
             # after a crash): the named segment already committed
             return manifest
+        # refuse to write delta segments under a layout/semantics config
+        # that disagrees with the stored one (silent wrong results
+        # otherwise — see _check_config_matches)
+        self._check_config_matches()
         t_start = time.time()
         stats = self._load_stats()
         doc_count = int(stats["doc_count"])
@@ -931,14 +1061,27 @@ class IndexBuilder:
         stats["sum_doc_len"] = sum_len
         stats["avg_doc_len"] = (sum_len / doc_count) if doc_count else 0.0
         stats["n_postings"] = n_postings
-        stats["n_terms"] = self._recount_terms(manifest)
-        self._save_stats(stats)
+        # n_terms keeps the last EXACT (build/compact-time) value: an
+        # exact recount is an O(vocabulary) job — the one non-O(delta)
+        # cost this path used to pay, once per streaming micro-batch.
+        # live_term_count() computes it on demand; compact() restores
+        # exactness via its dictionary pass.
+        stats["n_terms_exact"] = not (
+            manifest.get("delta_segments")
+            or manifest.get("dict_deltas")
+            or manifest.get("tombstones")
+        )
         manifest["finalized"] = True
-        manifest["stats"] = {
-            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
-        }
+        manifest["stats"] = {k: stats[k] for k in self.STATS_KEYS}
         manifest["total_seconds"] = round(time.time() - t_start, 3)
+        # manifest.json is the single atomic commit point: the replay
+        # guard above keys on it, so the updated corpus stats must ride
+        # the SAME write — a crash between the two file writes leaves a
+        # committed manifest + stale stats.json, which _load_stats /
+        # reader.load_stats reconcile from the manifest copy.  (Writing
+        # stats first would let a replayed batch double-count.)
         self._save_manifest(manifest)
+        self._save_stats(stats)
 
         if compact is True or (compact == "auto" and self._should_compact(manifest, stats)):
             return self.compact()
@@ -1043,14 +1186,6 @@ class IndexBuilder:
             )
             swap.append("tfidf")
 
-        for name in swap:
-            old = self._path(name)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            os.replace(new(name), old)
-        if os.path.isdir(self._path("deltas")):
-            shutil.rmtree(self._path("deltas"))
-
         stats.update(
             {
                 "doc_count": n_docs,
@@ -1058,23 +1193,32 @@ class IndexBuilder:
                 "avg_doc_len": avg_doc_len,
                 "base_avgdl_at_encode": avg_doc_len,
                 "n_terms": int(n_terms),
+                "n_terms_exact": True,
                 "n_postings": int(n_postings),
                 "table_bytes": {
-                    t: _tree_bytes(self._path(t))
+                    t: _tree_bytes(new(t) if t in swap else self._path(t))
                     for t in ("postings", "blocks", "dictionary", "docs", "tokens", "tfidf")
                 },
             }
         )
-        self._save_stats(stats)
         manifest["delta_segments"] = []
         manifest["dict_deltas"] = []
         manifest["tombstones"] = []
         manifest["finalized"] = True
-        manifest["stats"] = {
-            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
-        }
+        manifest["stats"] = {k: stats[k] for k in self.STATS_KEYS}
         manifest["total_seconds"] = round(time.time() - t_start, 3)
-        self._save_manifest(manifest)
+        # COMMIT POINT: atomically record that the .new generation is
+        # complete, together with the post-compaction bookkeeping; the
+        # swap + cleanup below are idempotent roll-forward steps that
+        # recover_compaction() re-runs after a crash anywhere past this
+        # line.  A crash BEFORE this line leaves the live index
+        # untouched and the deltas listed — compaction simply re-runs.
+        commit = {"swap": swap, "stats": stats, "manifest": manifest}
+        tmp = self._path("compact_commit.json") + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commit, f, indent=2)
+        os.replace(tmp, self._path("compact_commit.json"))
+        _apply_compaction_commit(self.index_dir, commit)
         return manifest
 
     # --------------------------------------------------------- accounting

@@ -75,8 +75,9 @@ class QueryEngine:
         from . import reader as R
 
         index_dir = self.index_dir
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
+        # load_stats reconciles from the manifest (the atomic commit
+        # point) in case a crash separated an update's two file writes
+        self.stats = R.load_stats(index_dir)
         cfg = self.stats["config"]
         self.n_buckets = cfg["n_buckets"]
         self.k1 = cfg.get("k1", K1_DEFAULT)
@@ -451,6 +452,18 @@ class QueryEngine:
         self._refresh_if_stale()
         if not self.stats["config"].get("store_tfidf"):
             raise ValueError("index was not built with store_tfidf=True")
+        if self._manifest.get("delta_segments") or self._manifest.get("dict_deltas"):
+            # the variant table bakes N and df into its scores at
+            # build/compaction time; delta-segment docs are absent and
+            # live N/df drift is not reflected until compact() refreshes
+            # it — warn instead of silently serving a stale corpus view
+            import warnings
+
+            warnings.warn(
+                "tfidf_x3 serves the BASE variant table only: pending delta "
+                "segments are not represented until compact() refreshes it",
+                stacklevel=2,
+            )
         if not hasattr(self, "_tfidf"):
             self._tfidf = self.spark.read.parquet(
                 os.path.join(self.index_dir, "tfidf")
@@ -467,8 +480,13 @@ class QueryEngine:
         for t in uniq:
             mult_items += [F.lit(t), F.lit(float(counts[t]))]
         mult_col = F.create_map(*mult_items)[F.col("term")]
-        p = self._tfidf.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+        from .reader import filter_tombstones
+
+        p = filter_tombstones(
+            self._tfidf.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+            ),
+            self._tombstones,
         )
         return (
             p.withColumn("score", F.col("score") * mult_col)

@@ -32,8 +32,31 @@ TOMBSTONE_LITERAL_MAX = 1000
 
 
 def load_manifest(index_dir: str) -> dict:
+    # roll forward a compaction interrupted after its commit point (one
+    # exists() check when nothing is pending) — readers opening the
+    # index otherwise see a half-swapped table set
+    from .build import recover_compaction
+
+    recover_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def load_stats(index_dir: str) -> dict:
+    """stats.json overlaid with the manifest's committed copy of the
+    corpus stats.  The manifest is the single atomic commit point for
+    incremental updates (written first), so its values win when a crash
+    separated the manifest and stats writes — engines reading through
+    here can never double-count a replayed micro-batch."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    try:
+        manifest = load_manifest(index_dir)
+    except OSError:
+        return stats
+    for k, v in (manifest.get("stats") or {}).items():
+        stats[k] = v
+    return stats
 
 
 def delta_segments(manifest: dict) -> List[str]:
@@ -105,8 +128,7 @@ def live_blocks(spark: SparkSession, index_dir: str, manifest: Optional[dict] = 
     pruning stays lossless."""
     manifest = manifest or load_manifest(index_dir)
     if stats is None:
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            stats = json.load(f)
+        stats = load_stats(index_dir)
     avg_now = stats["avg_doc_len"]
 
     def scale(avg_enc) -> float:

@@ -101,9 +101,10 @@ class WandEngine:
         self._load()
 
     def _load(self) -> None:
+        from . import reader as R
+
         index_dir = self.index_dir
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
+        self.stats = R.load_stats(index_dir)
         cfg = self.stats["config"]
         self.n_buckets = cfg["n_buckets"]
         self.range_bits = cfg["doc_range_bits"]
@@ -116,8 +117,6 @@ class WandEngine:
         # live block sources: [(blocks_df, ub_scale)] — base + delta
         # segments, each with its avgdl-drift correction factor so the
         # stored block-max bounds stay valid upper bounds (reader.py)
-        from . import reader as R
-
         try:
             self._manifest = R.load_manifest(index_dir)
         except OSError:

@@ -78,15 +78,18 @@ def stream_build(spark: SparkSession, input_dir: str, index_dir: str,
     if finalize and manifest["segments"] and not manifest.get("finalized"):
         stats = builder.finalize(manifest)
         manifest["finalized"] = True
-        manifest["stats"] = {
-            k: stats[k] for k in ("doc_count", "avg_doc_len", "n_terms", "n_postings")
-        }
+        manifest["stats"] = {k: stats[k] for k in builder.STATS_KEYS}
+        # id high-water mark (stream ids are dense from 0) so the first
+        # incremental update needs no O(corpus) max(doc_id) scan
+        manifest["next_doc_id"] = sum(
+            m["n_docs"] for m in manifest["segments"].values()
+        )
         builder._save_manifest(manifest)
     return manifest
 
 
 def stream_update(spark: SparkSession, input_dir: str, index_dir: str,
-                  config: IndexConfig = IndexConfig(),
+                  config: Optional[IndexConfig] = None,
                   checkpoint_dir: Optional[str] = None,
                   max_files_per_trigger: int = 4,
                   compact: object = "auto") -> dict:
@@ -101,8 +104,22 @@ def stream_update(spark: SparkSession, input_dir: str, index_dir: str,
     micro-batch a no-op (``update_index`` skips committed segments).
     This is the real-time indexing shape: at 10^12 docs a micro-batch
     touches only its own delta tables, never the base index.
+
+    ``config`` defaults to the EXISTING index's stored config
+    (``IndexBuilder.open``) — delta segments written under a different
+    layout config would be silently dropped from pruned reads, so
+    ``update_index`` also validates any explicitly-passed config.
     """
-    builder = IndexBuilder(spark, index_dir, config)
+    if config is None:
+        try:
+            builder = IndexBuilder.open(spark, index_dir)
+        except OSError:
+            raise ValueError(
+                "stream_update requires an existing index; use build()"
+                " or stream_build first"
+            )
+    else:
+        builder = IndexBuilder(spark, index_dir, config)
     if not builder._load_manifest()["segments"]:
         raise ValueError("stream_update requires an existing index; use build()"
                          " or stream_build first")

@@ -95,7 +95,10 @@ def test_update_add_and_remove_matches_rebuild(spark, corpora, tmp_index_root):
     rb_stats = QueryEngine(spark, rb_dir).stats
     assert inc_stats["doc_count"] == rb_stats["doc_count"]
     assert abs(inc_stats["avg_doc_len"] - rb_stats["avg_doc_len"]) < 1e-9
-    assert inc_stats["n_terms"] == rb_stats["n_terms"]
+    # n_terms stays the last exact value between compactions (no O(vocab)
+    # job per update); the explicit live count must match the rebuild
+    assert inc_stats["n_terms_exact"] is False
+    assert b.live_term_count() == rb_stats["n_terms"]
     assert inc_stats["n_postings"] == rb_stats["n_postings"]
 
     for q in QUERIES:
@@ -204,14 +207,19 @@ def test_compaction_folds_deltas_and_preserves_results(spark, tmp_index_root):
     bld.update_index(add=b, remove_urls=rm1)
     before = {q: _ranked_urls(spark, d, q) for q in QUERIES}
     pre_stats = QueryEngine(spark, d).stats
+    pre_live_terms = bld.live_term_count()
 
     m = bld.compact()
     assert m["delta_segments"] == [] and m["tombstones"] == [] and m["dict_deltas"] == []
     after = {q: _ranked_urls(spark, d, q) for q in QUERIES}
     assert before == after
     post_stats = QueryEngine(spark, d).stats
-    for k in ("doc_count", "n_terms", "n_postings"):
+    for k in ("doc_count", "n_postings"):
         assert pre_stats[k] == post_stats[k], k
+    # compaction restores exactness; the pre-compaction live count must
+    # already agree with the compacted dictionary's term count
+    assert post_stats["n_terms_exact"] is True
+    assert pre_live_terms == post_stats["n_terms"]
     assert abs(pre_stats["avg_doc_len"] - post_stats["avg_doc_len"]) < 1e-12
 
     # second cycle: remove from the compacted base, add, compact again —

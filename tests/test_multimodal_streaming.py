@@ -139,7 +139,11 @@ def test_stream_update_commits_delta_segments(spark, tmp_index_root):
     se, be = QueryEngine(spark, idx), QueryEngine(spark, batch_dir)
     assert se.doc_count == be.doc_count
     assert se.avg_doc_len == pytest.approx(be.avg_doc_len, abs=1e-9)
-    assert se.stats["n_terms"] == be.stats["n_terms"]
+    # between compactions n_terms is the last exact value (an exact
+    # recount per micro-batch would be an O(vocab) job on the O(delta)
+    # path); the explicit live count must match the batch build exactly
+    assert se.stats["n_terms_exact"] is False
+    assert IndexBuilder(spark, idx, cfg).live_term_count() == be.stats["n_terms"]
     assert se.stats["n_postings"] == be.stats["n_postings"]
 
     from elasticsearch_spark.operators.reader import live_docs
