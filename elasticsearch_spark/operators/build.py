@@ -183,23 +183,36 @@ def recover_compaction(index_dir: str) -> None:
     _apply_compaction_commit(index_dir, commit)
 
 
-def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 0) -> DataFrame:
+def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 0,
+                   scratch_dir: Optional[str] = None) -> DataFrame:
     """Dense sequential doc_id by global ``order_col`` order, without a
     single-partition window: range-partition on the key, count rows per
     partition (tiny driver collect), broadcast the cumulative offsets,
     then a *within-partition* row_number.
 
-    Deterministic: ids follow the total order of ``order_col`` no matter
-    where the sampled range boundaries fall.
+    The range-partitioned frame is MATERIALIZED to ``scratch_dir``
+    (parquet) before the counts are collected: the per-partition offsets
+    are only valid for the exact partition assignment they were counted
+    from, and an unmaterialized recompute may resample different range
+    boundaries (the range sampler is seeded per RDD id) — silently
+    wrong/duplicate ids.  Files make the assignment deterministic under
+    executor loss AND leak nothing: the caller deletes the directory
+    once the dependent write has run (no CacheManager entry to forget).
+    ``_pid`` is stored as data, so the read-back partitioning is
+    irrelevant.  Default scratch is a process-local temp dir (cleaned at
+    exit) — fine on local[*]; cluster callers pass shared storage, as
+    ``IndexBuilder.prepare_docs`` does with ``<index_dir>/_scratch``.
     """
     spark = df.sparkSession
     if num_partitions <= 0:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    if scratch_dir is None:
+        scratch_dir = _default_scratch("assign_ids_")
+    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    ranged.write.mode("overwrite").parquet(scratch_dir)
+    ranged = spark.read.parquet(scratch_dir)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -217,6 +230,16 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 
     return out
 
 
+def _default_scratch(prefix: str) -> str:
+    """Process-local scratch dir, removed at interpreter exit."""
+    import atexit
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 class IndexBuilder:
     """Builds the full index from the webtext input table."""
 
@@ -225,6 +248,7 @@ class IndexBuilder:
         self.index_dir = index_dir
         self.config = config
         self.metrics: List[dict] = []
+        self._scratch_dirs: List[str] = []
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str, **overrides) -> "IndexBuilder":
@@ -262,6 +286,29 @@ class IndexBuilder:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest_path())
+
+    def _new_scratch(self) -> str:
+        """Scratch dir under the index (shared storage on a cluster) for
+        the doc-id assignment materialization; freed by _drop_scratch
+        once the dependent write has run — continuous ingestion must not
+        accumulate one leaked cache/scratch per micro-batch."""
+        import tempfile
+
+        root = self._path("_scratch")
+        os.makedirs(root, exist_ok=True)
+        d = tempfile.mkdtemp(prefix="ids_", dir=root)
+        self._scratch_dirs.append(d)
+        return d
+
+    def _drop_scratch(self) -> None:
+        while self._scratch_dirs:
+            shutil.rmtree(self._scratch_dirs.pop(), ignore_errors=True)
+        root = self._path("_scratch")
+        try:
+            if os.path.isdir(root) and not os.listdir(root):
+                os.rmdir(root)
+        except OSError:
+            pass
 
     def _record(self, stage: str, seconds: float, docs: int = 0, postings: int = 0) -> dict:
         entry = {
@@ -314,7 +361,8 @@ class IndexBuilder:
             # rather than whatever the input file split count was.
             base = df.withColumn("url", F.col("url").cast("string"))
             ids = assign_doc_ids(
-                base.select("url"), "url", self.config.id_partitions
+                base.select("url"), "url", self.config.id_partitions,
+                scratch_dir=self._new_scratch(),
             )
             n_parts = self.config.id_partitions or int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -775,6 +823,9 @@ class IndexBuilder:
             }
             self._save_manifest(manifest)
             self._record("tokenize", time.time() - t0, docs=manifest["tokens_stats"]["n"])
+            # the tokens write materialized the id assignment — free its
+            # scratch (nothing downstream re-reads it)
+            self._drop_scratch()
         docs = self.spark.read.parquet(tokens_path)
         tok_stats = manifest.get("tokens_stats")
 
@@ -1045,6 +1096,7 @@ class IndexBuilder:
             # tokenize-once for the segment (same rationale as build())
             tok_path = self._path("segments", seg_name, "tokens")
             new_docs.write.mode("overwrite").parquet(tok_path)
+            self._drop_scratch()  # id assignment materialized by the write
             new_docs = self.spark.read.parquet(tok_path)
             seg_stats = self.build_segment(seg_name, new_docs)
             doc_count += seg_stats["n_docs"]

@@ -16,7 +16,7 @@ Same pattern as the doc-id assignment in ``operators/build.py``
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -28,22 +28,41 @@ def zip_with_rank(
     rank_col: str = "rnk",
     num_partitions: int = 0,
     start: int = 1,
+    scratch_dir: Optional[str] = None,
 ) -> DataFrame:
     """Add ``rank_col`` = global row_number (``start``-based) by
     ``order_exprs``, with no global-window single-task sort.
 
     ``order_exprs`` must define a total order (add a unique tie-break
     column) for the rank to be deterministic.
+
+    The range-partitioned frame is MATERIALIZED to ``scratch_dir``
+    (parquet) before the per-partition counts are collected: the
+    broadcast offsets are only valid for the exact partition assignment
+    they were counted from, and an unmaterialized recompute (cache-block
+    loss under the old persist() contract) could resample different
+    range boundaries — silently wrong/duplicate ranks.  Files make the
+    result deterministic under executor loss and leak no CacheManager
+    entry.  ``_pid`` is stored as data, so read-back partitioning is
+    irrelevant.  Default scratch is a process-local temp dir (cleaned at
+    interpreter exit) — correct on local[*]; on a real cluster pass a
+    shared-storage path so executors can read it.
     """
     spark = df.sparkSession
     if num_partitions <= 0:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if scratch_dir is None:
+        from .build import _default_scratch
+
+        scratch_dir = _default_scratch("zip_rank_")
     exprs = list(order_exprs)
-    ranged = (
+    (
         df.repartitionByRange(num_partitions, *exprs)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .write.mode("overwrite")
+        .parquet(scratch_dir)
     )
+    ranged = spark.read.parquet(scratch_dir)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -58,10 +77,6 @@ def zip_with_rank(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*exprs)
-    # NOTE: `ranged` stays persisted while the returned plan is live —
-    # the offsets are only valid for the exact partitioning the counts
-    # were computed from; recomputation could resample different range
-    # boundaries.  (Same contract as assign_doc_ids in build.py.)
     return (
         ranged.join(offsets_df, "_pid")
         .withColumn(

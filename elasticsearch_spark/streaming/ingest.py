@@ -24,7 +24,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.build import IndexBuilder, IndexConfig, assign_doc_ids
+from ..operators.build import IndexBuilder, IndexConfig
 
 INPUT_SCHEMA = T.StructType(
     [
@@ -64,6 +64,7 @@ def stream_build(spark: SparkSession, input_dir: str, index_dir: str,
         docs = builder.prepare_docs(batch_df.drop("doc_id") if "doc_id" in batch_df.columns else batch_df)
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
         manifest["segments"][seg_name] = builder.build_segment(seg_name, docs)
+        builder._drop_scratch()  # per-batch id scratch must not accumulate
         builder._save_manifest(manifest)
 
     query = (

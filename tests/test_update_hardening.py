@@ -124,8 +124,56 @@ def test_update_add_runs_no_job_over_base_tables(spark, corpora, tmp_index_root,
     monkeypatch.setattr(DataFrameReader, "parquet", spy)
     m = bld.update_index(add=extra, compact=False)
     assert m["delta_segments"]
-    base_reads = [p for p in seen if d in p and f"{os.sep}segments{os.sep}" not in p]
+    base_reads = [
+        p
+        for p in seen
+        if d in p
+        and f"{os.sep}segments{os.sep}" not in p
+        and f"{os.sep}_scratch{os.sep}" not in p  # delta-sized id scratch
+    ]
     assert base_reads == [], f"update_index(add) read base tables: {base_reads}"
+    assert not os.path.exists(os.path.join(d, "_scratch")), "scratch leaked"
+
+
+def test_continuous_ingest_leaks_no_cache_entries(spark, corpora, tmp_index_root):
+    """10+ streaming micro-batches through the O(delta) update path must
+    leave ZERO new persisted RDD / cached-plan entries and no scratch
+    dirs — the r2 verdict found assign_doc_ids leaking one cache entry
+    per micro-batch forever (operators/build.py r2:145)."""
+    from elasticsearch_spark.streaming.ingest import stream_update
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base, extra = corpora
+    d = os.path.join(tmp_index_root, "noleak_idx")
+    bld = IndexBuilder(spark, d, CFG)
+    bld.build(base)
+
+    before = n_persistent()
+    stream_in = os.path.join(tmp_index_root, "noleak_in")
+    extra.repartition(10).write.mode("overwrite").parquet(stream_in)
+    m = stream_update(spark, stream_in, d, max_files_per_trigger=1, compact=False)
+    assert len(m["delta_segments"]) >= 10
+    assert n_persistent() == before, "micro-batches leaked persisted RDDs"
+    assert not os.path.exists(os.path.join(d, "_scratch")), "scratch leaked"
+    # DataFrame-plan cache (CacheManager) must be empty too
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_zip_with_rank_leaves_no_cache(spark):
+    from elasticsearch_spark.operators.rank import zip_with_rank
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 37)
+    out = zip_with_rank(df, [F.col("v").desc(), F.col("id")], "rnk")
+    rows = out.orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == list(range(1, 1001))
+    want = sorted(
+        [(r["v"], r["id"]) for r in df.collect()], key=lambda t: (-t[0], t[1])
+    )
+    assert [(r["v"], r["id"]) for r in rows] == want
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def _ranked(spark, d, q="machine learning"):
