@@ -306,10 +306,36 @@ class WandEngine:
         )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
+    def total_hits(self, query: str) -> int:
+        """EXACT hit count: live docs containing ≥1 scoring term.  WAND
+        pruning cannot produce this for free (pruned ranges never decode
+        their doc ids), so it is one extra bounded job — a
+        count-distinct over the bucket/term-pruned live postings scan,
+        the same count the TAAT path's Observation yields
+        (``QueryEngine.ranked``).  Reference result shape includes
+        total_hits (``selfindex_q_taat.py:203-209``)."""
+        weights = self._weights(query)
+        if not weights:
+            return 0
+        terms = sorted(weights)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        from .reader import live_postings
+
+        p = live_postings(self.spark, self.index_dir, self._manifest).filter(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(terms)
+            & (F.col("doc_len") > 0)
+        )
+        from ..session import interactive_aqe_off
+
+        with interactive_aqe_off(self.spark):
+            return int(p.agg(F.countDistinct("doc_id")).collect()[0][0])
+
     # turbo cutover: max Σ df served by the driver-side kernel
     TURBO_MAX_POSTINGS = 2_000_000
 
-    def _turbo_topk(self, query: str, k: int) -> Optional[list]:
+    def _turbo_topk(self, query: str, k: int,
+                    with_total_hits: bool = False) -> Optional[tuple]:
         """Block-max WAND evaluated ON THE DRIVER for small slices: a
         pyarrow pruned read of the term's block runs (bucket partition
         pruning + term predicate; blob columns only for surviving
@@ -317,19 +343,21 @@ class WandEngine:
         in numpy.  Identical results to the distributed phases —
         lossless pruning with the per-source avgdl-drift UB scale and
         tombstone skip.  Returns None above the cutover or on read
-        failure (callers fall back to the Spark path)."""
+        failure (callers fall back to the Spark path), else
+        ``(results, total_hits-or-None)``."""
         if os.environ.get("SPARK_GRAFT_TURBO", "1") == "0":
             return None
         weights = self._weights(query)
         if not weights:
-            return []
+            return [], (0 if with_total_hits else None)
         terms = sorted(weights)
         if sum(self._df_cache.get(t, 0) for t in terms) > self.TURBO_MAX_POSTINGS:
             return None
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        return self._turbo_topk_impl(terms, weights, buckets, k)
+        return self._turbo_topk_impl(terms, weights, buckets, k, with_total_hits)
 
-    def _turbo_topk_impl(self, terms, weights, buckets, k) -> Optional[list]:
+    def _turbo_topk_impl(self, terms, weights, buckets, k,
+                         with_total_hits: bool = False) -> Optional[tuple]:
         import pyarrow.dataset as pads
 
         from . import reader as R
@@ -358,12 +386,19 @@ class WandEngine:
         except Exception:
             return None
 
-        # phase 0 (driver): per-range upper bounds with per-source scale
+        # phase 0 (driver): per-range upper bounds with per-source scale;
+        # rows grouped by range ONCE (score_range used to re-filter the
+        # full row list per range — O(ranges x blocks))
         ub: Dict[int, float] = {}
-        for scale, term, rid, mi, _db, _tb, _lb in rows:
+        by_range: Dict[int, list] = {}
+        for row in rows:
+            scale, term, rid, mi = row[0], row[1], row[2], row[3]
             ub[rid] = ub.get(rid, 0.0) + weights[term] * mi * scale
+            by_range.setdefault(rid, []).append(row)
         if not ub:
-            return []
+            return [], (0 if with_total_hits else None)
+        for group in by_range.values():
+            group.sort(key=lambda x: x[1])  # fixed term order, deterministic
         tomb = (
             np.asarray(sorted(self._tombstones), dtype=np.int64)
             if self._tombstones
@@ -373,9 +408,7 @@ class WandEngine:
         def score_range(rid) -> tuple:
             base = rid << self.range_bits
             arr = np.zeros(1 << self.range_bits, dtype=np.float64)
-            for scale, term, r, _mi, db, tb, lb in sorted(
-                (x for x in rows if x[2] == rid), key=lambda x: x[1]
-            ):
+            for scale, term, r, _mi, db, tb, lb in by_range[rid]:
                 w = weights[term]
                 d, t, l = codec.decode_block(db, tb, lb, self.codec)
                 ok = l > 0
@@ -386,11 +419,26 @@ class WandEngine:
             nz = np.nonzero(arr)[0]
             return nz + base, arr[nz]
 
+        def range_doc_count(rid) -> int:
+            # live doc count of a range WITHOUT scoring it (total_hits
+            # for pruned ranges): decode doc+len streams only
+            ids = []
+            for _scale, _term, _r, _mi, db, tb, lb in by_range[rid]:
+                d, _t, l = codec.decode_block(db, tb, lb, self.codec)
+                ok = l > 0
+                if tomb.size:
+                    ok &= ~np.isin(d, tomb)
+                ids.append(d[ok])
+            merged = np.concatenate(ids) if ids else np.empty(0, np.int64)
+            return int(np.unique(merged).size)
+
         # phase 1: threshold from the top-S UB ranges
         by_ub = sorted(ub, key=lambda r: -ub[r])
         docs_all, scores_all = [], []
+        scored_rids = set()
         for rid in by_ub[: self.SEED_RANGES]:
             d, s = score_range(rid)
+            scored_rids.add(rid)
             docs_all.append(d)
             scores_all.append(s)
         cand_d = np.concatenate(docs_all) if docs_all else np.empty(0, np.int64)
@@ -405,26 +453,42 @@ class WandEngine:
             if ub[rid] < theta0:
                 continue
             d, s = score_range(rid)
+            scored_rids.add(rid)
             docs_all.append(d)
             scores_all.append(s)
         cand_d = np.concatenate(docs_all)
         cand_s = np.concatenate(scores_all)
         order = np.lexsort((cand_d, -cand_s))[:k]
+        total = None
+        if with_total_hits:
+            # docs partition by range, so the exact count is the sum of
+            # per-range unique live doc counts: scored ranges already
+            # yield theirs (every decoded doc scores > 0), pruned ranges
+            # pay a doc/len-stream decode (no tf, no scoring) — the
+            # honest cost of an exact count under pruning
+            total = int(sum(len(d) for d in docs_all)) + sum(
+                range_doc_count(rid) for rid in by_ub if rid not in scored_rids
+            )
         return [
             {"doc_id": int(cand_d[i]), "score": float(cand_s[i])} for i in order
-        ]
+        ], total
 
-    def topk(self, query: str, k: int = 10) -> dict:
-        turbo = self._turbo_topk(query, k)
+    def topk(self, query: str, k: int = 10, with_total_hits: bool = False) -> dict:
+        """Reference result shape; ``with_total_hits`` adds the exact
+        hit count (default off: it costs decode/count work that WAND
+        pruning exists to avoid — see :meth:`total_hits`)."""
+        turbo = self._turbo_topk(query, k, with_total_hits)
         if turbo is not None:
-            return {"query": query, "total_hits": None, "results": turbo}
+            results, total = turbo
+            return {"query": query, "total_hits": total, "results": results}
         # AQE off for the small interactive job (see QueryEngine._interactive)
         from ..session import interactive_aqe_off
 
         with interactive_aqe_off(self.spark):
             rows = self.topk_df(query, k).collect()
+        total = self.total_hits(query) if with_total_hits else None
         return {
             "query": query,
-            "total_hits": None,  # WAND prunes; exact count needs the TAAT plan
+            "total_hits": total,
             "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
         }

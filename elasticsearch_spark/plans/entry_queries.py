@@ -604,8 +604,28 @@ FROM s ORDER BY doc_id LIMIT 10""",
 def engine_boolean_not_topk(spark, sf_dir):
     """The BOUNDED boolean path (production shape): k smallest doc_ids
     plus the exact total hit count, both from ONE job (Observation on
-    the set plan) — nothing corpus-sized reaches the driver."""
-    eng = _engine(spark, sf_dir)
+    the set plan) — nothing corpus-sized reaches the driver.  Pinned to
+    turbo=False so the gate hash-checks the DISTRIBUTED Observation
+    plan (the turbo tier has its own twin gate below)."""
+    from ..operators.query import QueryEngine
+
+    eng = QueryEngine(spark, _engine(spark, sf_dir).index_dir, turbo=False)
+    res = eng.boolean_topk("spark NOT dup", k=10)
+    return spark.createDataFrame(
+        [(r["doc_id"], res["total_hits"]) for r in res["results"]],
+        "doc_id long, total_hits long",
+    )
+
+
+@register(
+    "engine_boolean_not_topk_turbo",
+    ORACLE_SQL["engine_boolean_not_topk"],
+)
+def engine_boolean_not_topk_turbo(spark, sf_dir):
+    """Turbo twin of engine_boolean_not_topk: the driver-side pyarrow +
+    numpy set-algebra tier must hash-match the same oracle (result
+    identity between the tiers is additionally pytest-enforced)."""
+    eng = _engine(spark, sf_dir)  # turbo engine (gate scale < cutover)
     res = eng.boolean_topk("spark NOT dup", k=10)
     return spark.createDataFrame(
         [(r["doc_id"], res["total_hits"]) for r in res["results"]],
@@ -675,14 +695,77 @@ SELECT 1 AS qid, doc_id, score_r FROM ({q2})"""
 def engine_batch_bm25(spark, sf_dir):
     """The batch multi-query path (one Spark job scores BOTH queries;
     shuffle bounded by candidate postings, not query count) — results
-    must equal the per-query oracles."""
-    eng = _engine(spark, sf_dir)
+    must equal the per-query oracles.  Pinned to turbo=False so the
+    gate hash-checks the DISTRIBUTED broadcast-join batch plan (the
+    turbo tier has its own twin gate below)."""
+    from ..operators.query import QueryEngine
+
+    eng = QueryEngine(spark, _engine(spark, sf_dir).index_dir, turbo=False)
     out = eng.batch_ranked([" ".join(Q1_TERMS), " ".join(Q2_TERMS)], k=10)
     rows = []
     for qid, q in enumerate(out):
         for r in out[q]:
             rows.append((qid, r["doc_id"], round(r["score"], 6)))
     return spark.createDataFrame(rows, "qid int, doc_id long, score_r double")
+
+
+@register("engine_batch_bm25_turbo", _batch_oracle_sql())
+def engine_batch_bm25_turbo(spark, sf_dir):
+    """Turbo twin of engine_batch_bm25: the one-pruned-read + per-query
+    numpy accumulation tier must hash-match the same oracle."""
+    eng = _engine(spark, sf_dir)  # turbo engine (gate scale < cutover)
+    out = eng.batch_ranked([" ".join(Q1_TERMS), " ".join(Q2_TERMS)], k=10)
+    rows = []
+    for qid, q in enumerate(out):
+        for r in out[q]:
+            rows.append((qid, r["doc_id"], round(r["score"], 6)))
+    return spark.createDataFrame(rows, "qid int, doc_id long, score_r double")
+
+
+def _wand_total_sql() -> str:
+    q1 = _bm25_sql(Q1_TERMS, k=10)
+    return f"""SELECT t.doc_id, t.score_r, h.total_hits
+FROM ({q1}) t CROSS JOIN (
+  WITH {_TOK_CTE}
+  SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM tok
+  WHERE term IN ({_sql_terms(Q1_TERMS)})) h"""
+
+
+@register("wand_total_hits", _wand_total_sql())
+def wand_total_hits(spark, sf_dir):
+    """WAND top-k + EXACT total hit count: pruning can't count pruned
+    ranges' docs for free, so total_hits is a separate bounded
+    count-distinct job over the pruned live postings scan — this gate
+    checks the DISTRIBUTED pair (plan top-k + count job)."""
+    from ..operators.wand import WandEngine
+
+    eng = _engine(spark, sf_dir)
+    wand = WandEngine(spark, eng.index_dir)
+    total = wand.total_hits(" ".join(Q1_TERMS))
+    return (
+        wand.topk_df(" ".join(Q1_TERMS), k=10)
+        .select("doc_id", F.round("score", 6).alias("score_r"))
+        .withColumn("total_hits", F.lit(int(total)).cast("long"))
+    )
+
+
+@register("wand_total_hits_turbo", _wand_total_sql())
+def wand_total_hits_turbo(spark, sf_dir):
+    """Turbo twin: the driver-side WAND kernel's total count (scored
+    ranges' unique docs + doc-stream decode of pruned ranges) must
+    hash-match the same oracle."""
+    from ..operators.wand import WandEngine
+
+    eng = _engine(spark, sf_dir)
+    wand = WandEngine(spark, eng.index_dir)
+    res = wand.topk(" ".join(Q1_TERMS), k=10, with_total_hits=True)
+    return spark.createDataFrame(
+        [
+            (r["doc_id"], round(r["score"], 6), res["total_hits"])
+            for r in res["results"]
+        ],
+        "doc_id long, score_r double, total_hits long",
+    )
 
 
 @register(

@@ -155,9 +155,10 @@ def test_wand_turbo_matches_spark_phases(spark, index_dir, query):
     wand = WandEngine(spark, index_dir)
     turbo = wand._turbo_topk(query, 10)
     assert turbo is not None  # small corpus: always under the cutover
+    results, _total = turbo
     want = wand.topk_df(query, 10).collect()
-    assert [r["doc_id"] for r in turbo] == [r["doc_id"] for r in want], query
-    for g, w in zip(turbo, want):
+    assert [r["doc_id"] for r in results] == [r["doc_id"] for r in want], query
+    for g, w in zip(results, want):
         assert abs(g["score"] - w["score"]) < 1e-9, query
 
 
@@ -168,3 +169,25 @@ def test_wand_turbo_cutover_declines(spark, index_dir, monkeypatch):
     wand._weights(q)  # populate df cache
     if any(wand._df_cache.get(t, 0) > 0 for t in wand._terms(q)):
         assert wand._turbo_topk(q, 10) is None
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_total_hits_matches_taat(spark, index_dir, query):
+    """with_total_hits=True must return the TAAT Observation count —
+    from BOTH tiers: the turbo kernel (scored ranges + doc-stream decode
+    of pruned ranges) and the distributed pair (plan top-k + bounded
+    count-distinct job)."""
+    eng = QueryEngine(spark, index_dir)
+    want = eng.ranked(query, k=10)["total_hits"]
+
+    wand = WandEngine(spark, index_dir)
+    got_turbo = wand.topk(query, k=10, with_total_hits=True)
+    assert got_turbo["total_hits"] == want, query
+
+    plan_wand = WandEngine(spark, index_dir)
+    plan_wand.TURBO_MAX_POSTINGS = -1  # force the distributed path
+    got_plan = plan_wand.topk(query, k=10, with_total_hits=True)
+    assert got_plan["total_hits"] == want, query
+    assert [r["doc_id"] for r in got_plan["results"]] == [
+        r["doc_id"] for r in got_turbo["results"]
+    ], query
