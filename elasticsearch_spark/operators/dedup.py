@@ -152,21 +152,53 @@ def simhash64(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens") ->
     return contribs.select("id", packed.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
+def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
+                       hash_col: str = "simhash", n_bits: int = 64,
+                       n_bands: Optional[int] = None,
                        max_hamming: int = 3) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming) via the 4x16-bit band pigeonhole:
-    any pair within Hamming distance 3 shares at least one of the four
-    16-bit quarters exactly."""
-    sig = simhash64(df, id_col, tokens_col)
-    quarters = [
-        sig.select(
-            "id", "simhash", F.lit(q).alias("q"),
-            F.expr(f"(simhash >> {16 * q}) & 65535").alias("qk"),
+    """(a, b, hamming ≤ max_hamming) over ANY precomputed ≤64-bit hash
+    column, via the band pigeonhole: split the hash into ``n_bands``
+    contiguous bit bands — a pair within Hamming distance n_bands − 1
+    must agree EXACTLY on at least one band, so candidates are pairs
+    sharing a (band, band-bits) bucket (never all pairs; the 10^12-row
+    shape) and exact verification (xor + bit_count) runs on candidates
+    only.  Completeness therefore requires n_bands ≥ max_hamming + 1 —
+    the default sizes the bands exactly so, and an explicit smaller
+    n_bands raises instead of silently dropping pairs.
+
+    Generic consumers: token simhash (:func:`simhash_near_pairs`),
+    image perceptual hashes (multimodal.phash_near_pairs), any
+    fingerprint column.  Band keys mask away arithmetic-shift sign
+    extension (negative hashes band correctly), and bands past the top
+    bit are constant 0 (Java shifts wrap mod 64, so ``h >> 64`` must
+    never be emitted)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    elif max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding guarantees completeness only up to n_bands-1="
+            f"{n_bands - 1} bit flips; got max_hamming={max_hamming}"
         )
-        for q in range(4)
+    width = (n_bits + n_bands - 1) // n_bands
+    mask = (1 << width) - 1
+
+    def band_key(band: int):
+        shift = width * band
+        if shift >= n_bits:
+            return F.lit(0).cast("long")
+        return F.expr(f"({hash_col} >> {shift}) & {mask}")
+
+    bands = [
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("h"),
+            F.lit(band).alias("q"),
+            band_key(band).alias("qk"),
+        )
+        for band in range(n_bands)
     ]
-    banded = quarters[0]
-    for qdf in quarters[1:]:
+    banded = bands[0]
+    for qdf in bands[1:]:
         banded = banded.unionByName(qdf)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -179,8 +211,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "to
         .select(
             F.col("a.id").alias("a"),
             F.col("b.id").alias("b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
         )
         .distinct()
     )
@@ -188,6 +220,20 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "to
         cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
+                       max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) via the band pigeonhole (e.g. the
+    classic 4x16-bit quarters for max_hamming=3): any pair within
+    Hamming distance n_bands−1 shares at least one band exactly; bands
+    auto-size to max_hamming+1 so the candidate set is always
+    complete."""
+    sig = simhash64(df, id_col, tokens_col)
+    return hamming_near_pairs(
+        sig, id_col="id", hash_col="simhash", n_bits=64,
+        max_hamming=max_hamming,
     )
 
 

@@ -123,6 +123,24 @@ def frame_sample(df: DataFrame, url_col: str = "url", binary_col: str = "data",
     return df.select(url_col, binary_col).mapInPandas(run, FRAME_SCHEMA)
 
 
+def phash_near_pairs(features: DataFrame, max_hamming: int = 3,
+                     n_bands: int | None = None) -> DataFrame:
+    """Near-duplicate IMAGES: (a, b, hamming ≤ max_hamming) over the
+    64-bit perceptual hash computed by :func:`image_features`, via the
+    same band-pigeonhole candidate machinery as token simhash
+    (``operators/dedup.py::hamming_near_pairs``) — banding bounds the
+    join at 10^12 images, exact xor+bit_count verification runs on
+    candidates only.  This is the standard image-dedup pass of an LLM
+    training-data pipeline; swapping the stub decoder for a real one
+    changes nothing here."""
+    from .dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        features, id_col="url", hash_col="phash", n_bits=64,
+        n_bands=n_bands, max_hamming=max_hamming,
+    )
+
+
 def binary_metadata(df: DataFrame, url_col: str = "url", binary_col: str = "data") -> DataFrame:
     """Cheap JVM-side metadata (no Python): size + content hash —
     the first-pass triage over multimodal blobs at scale."""

@@ -923,6 +923,10 @@ def simhash_signature(spark, sf_dir):
     (map-side partial agg), then a driver-free bit-pack expression — no
     bit-fanout crossJoin, so shuffle volume is |(doc,term)| rows, not
     60x that."""
+    return _simhash60(spark, sf_dir)
+
+
+def _simhash60(spark, sf_dir):
     tf = _tok(spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -942,6 +946,39 @@ def simhash_signature(spark, sf_dir):
         term = F.when(F.col(f"c{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return contribs.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+@register(
+    "hamming_near_dup_pairs",
+    None,  # oracle registered below (needs simhash_signature's SQL)
+)
+def hamming_near_dup_pairs(spark, sf_dir):
+    """Hamming-distance near-dup pairs over a precomputed ≤64-bit
+    signature column — the generic banding operator behind BOTH token
+    simhash dedup and image perceptual-hash dedup
+    (``operators/dedup.py::hamming_near_pairs``; the image variant,
+    ``multimodal.phash_near_pairs``, is the same operator over
+    image_features' phash and is pytest-covered since the stub
+    decoder's hash is not SQL-expressible).  The banded candidate join
+    must reproduce the oracle's BRUTE-FORCE all-pairs Hamming scan
+    exactly: that proves verification exactness AND completeness of
+    the 4-band pigeonhole at max_hamming = 3."""
+    from ..operators.dedup import hamming_near_pairs
+
+    sig = _simhash60(spark, sf_dir)
+    return hamming_near_pairs(
+        sig, id_col="doc_id", hash_col="simhash", n_bits=60, n_bands=4,
+        max_hamming=3,
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+ORACLE_SQL["hamming_near_dup_pairs"] = f"""WITH sig AS (
+{ORACLE_SQL['simhash_signature']}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
 @register(

@@ -65,6 +65,48 @@ def test_simhash_near_pairs(docs):
     assert ("d0", "d3") not in pairs or pairs[("d0", "d3")] > 8
 
 
+def test_hamming_near_pairs_matches_brute_force(spark):
+    """The banded candidate join must reproduce a brute-force all-pairs
+    Hamming scan exactly — including sign-bit-set (negative) hashes and
+    max_hamming values that need more than 4 bands (auto-sizing)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+    vals = [base]
+    for flips in (1, 2, 3, 5, 8, 31):  # planted near-dups at known distances
+        v = base
+        for b in rng.sample(range(64), flips):
+            v ^= 1 << b
+        vals.append(v)
+    vals += [rng.getrandbits(64) for _ in range(20)]  # far-away noise
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    sig = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(signed)], "id int, h long"
+    )
+    for max_h in (3, 8):
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in dedup.hamming_near_pairs(
+                sig, id_col="id", hash_col="h", max_hamming=max_h
+            ).collect()
+        }
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(enumerate(signed), 2):
+            d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+        assert got == want, max_h
+
+
+def test_hamming_near_pairs_insufficient_bands_raises(spark):
+    sig = spark.createDataFrame([(0, 1), (1, 3)], "id int, h long")
+    with pytest.raises(ValueError, match="completeness"):
+        dedup.hamming_near_pairs(sig, id_col="id", hash_col="h",
+                                 n_bands=4, max_hamming=5)
+
+
 def test_ngram_jaccard_pairs(docs):
     out = {(r["a"], r["b"]): r["jaccard"] for r in
            dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}

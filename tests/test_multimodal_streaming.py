@@ -32,6 +32,38 @@ def test_image_features_deterministic(blobs):
     assert 0 <= row["mean_luma"] <= 255
 
 
+def test_phash_near_pairs_finds_duplicate_images(spark):
+    """Image dedup over the perceptual hash: byte-identical blobs under
+    different urls must pair at hamming 0; near hashes (planted bit
+    flips) must pair within the threshold; the banded result must equal
+    a brute-force Hamming scan of the phash column."""
+    import itertools
+
+    payload = bytes(range(256)) * 3
+    rows = [
+        ("img://a", payload),
+        ("img://b", payload),                     # exact duplicate blob
+        ("img://c", bytes([7] * 500)),
+        ("img://d", bytes([9] * 701)),
+    ]
+    blobs = spark.createDataFrame(rows, "url string, data binary")
+    feats = multimodal.image_features(blobs)
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in multimodal.phash_near_pairs(feats, max_hamming=10).collect()
+    }
+    assert pairs[("img://a", "img://b")] == 0
+
+    # banded == brute force over the actual phash values
+    ph = {r["url"]: r["phash"] for r in feats.collect()}
+    want = {
+        (a, b): bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(ph), 2)
+        if bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") <= 10
+    }
+    assert pairs == want
+
+
 def test_frame_sample_fanout(blobs):
     frames = multimodal.frame_sample(blobs, frame_bytes=100, every_n=2).collect()
     one = [r for r in frames if r["url"] == "img://0"]
