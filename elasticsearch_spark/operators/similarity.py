@@ -214,6 +214,32 @@ class IvfIndex:
             None, query_vec, self.centroids, k, n_probe, assigned=self.assigned
         )
 
+    def append(self, df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> "IvfIndex":
+        """O(delta) incremental extension: assign ONLY the new vectors
+        to cells under the EXISTING (frozen) centroids and append their
+        files into the cell-partitioned assignment table — the text
+        index's delta-segment pattern applied to the ANN index (no
+        rebuild, no rescan of existing vectors; probes stay
+        partition-pruned reads).  Results afterwards are IDENTICAL to a
+        one-shot assignment of old ∪ new under the same centroids
+        (pytest-proven); only quantization QUALITY can drift if the data
+        distribution shifts — recluster with a fresh ``build()`` at
+        compaction cadence, like the text index's ``compact()``."""
+        import os
+
+        assigned = ivf_assign(df, self.centroids, id_col, vec_col)
+        (
+            assigned.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(self.path, "assigned"))
+        )
+        self.assigned = self.spark.read.parquet(
+            os.path.join(self.path, "assigned")
+        )
+        return self
+
 
 def lsh_knn_join(df: DataFrame, k: int = 5, n_planes: int = 8, n_tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",

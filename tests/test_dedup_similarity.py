@@ -234,3 +234,42 @@ def test_ivf_index_reload(clustered_vectors, tmp_path):
     reloaded = IvfIndex(clustered_vectors.sparkSession, path)
     assert reloaded.centroids == built.centroids
     assert reloaded.assigned.count() == 45
+
+
+def test_ivf_append_matches_one_shot_assignment(clustered_vectors, tmp_path):
+    """O(delta) ANN appends: build on a subset, append the rest under
+    the frozen centroids — probe results (any n_probe) must be
+    IDENTICAL to assigning the full corpus in one shot with the same
+    centroids, and the appended table must survive a reload."""
+    from elasticsearch_spark.operators.similarity import (
+        IvfIndex,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    spark = clustered_vectors.sparkSession
+    old = clustered_vectors.filter(F.col("vec_id") < 30)
+    new = clustered_vectors.filter(F.col("vec_id") >= 30)
+    path = str(tmp_path / "ivf_append")
+    idx = IvfIndex.build(old, path, n_cells=3, seed=3)
+    idx.append(new)
+    assert idx.assigned.count() == 45
+
+    one_shot = ivf_assign(clustered_vectors, idx.centroids)
+    q = clustered_vectors.filter(F.col("vec_id") == 31).first()["embedding"]
+    for n_probe in (1, 3):
+        got = [
+            (r["id"], round(r["cosine"], 9))
+            for r in idx.topk(q, k=8, n_probe=n_probe).collect()
+        ]
+        want = [
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_topk(
+                None, q, idx.centroids, k=8, n_probe=n_probe, assigned=one_shot
+            ).collect()
+        ]
+        assert got == want, n_probe
+    # appended vectors are actually retrievable
+    assert any(i >= 30 for i, _c in got)
+    # reload sees the appended generation
+    assert IvfIndex(spark, path).assigned.count() == 45
