@@ -27,10 +27,79 @@ per-doc term frequency.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+PHRASE_RESULT_SCHEMA = (
+    "doc_id long, n_occurrences long, start_positions array<int>"
+)
+
+
+def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
+                        codec_name: str = "vbyte",
+                        tombstones: Optional[Sequence[int]] = None) -> DataFrame:
+    """Positional phrase matching as ONE doc-range-partitioned kernel
+    over the compressed block layout — the WAND-kernel shape applied to
+    adjacency.
+
+    ``blocks`` must already be pruned to the phrase terms' (bucket,
+    term) block runs and carry (term, range_id, doc_blob, tf_blob,
+    len_blob, pos_blob).  One ``groupBy(range_id).applyInPandas`` then
+    decodes each term's doc/tf/position streams ONCE per doc-range and
+    intersects shifted positions in numpy.  vs the k−1 join cascade
+    (:func:`phrase_match`, kept as the semantics oracle): a 4-term
+    phrase costs one bounded shuffle of the terms' block rows instead
+    of 3 distributed joins, and docs partition by range so no
+    cross-range state exists.  Identity to the join plan is
+    pytest-enforced; the ``phrase_*`` driver gates hash-check this
+    kernel against DuckDB."""
+    terms = list(terms)
+    uniq = sorted(set(terms))
+    tomb_set = frozenset(int(t) for t in tombstones) if tombstones else frozenset()
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import codec as C
+
+        cols = ["doc_id", "n_occurrences", "start_positions"]
+        per_term: dict = {}
+        for row in pdf.itertuples(index=False):
+            d, tf, _l = C.decode_block(
+                row.doc_blob, row.tf_blob, row.len_blob, codec_name
+            )
+            flat = C.decode_positions(row.pos_blob, tf, codec_name)
+            splits = np.split(flat, np.cumsum(tf)[:-1])
+            slot = per_term.setdefault(row.term, {})
+            # multiple rows per (term, range) = base + delta sources;
+            # their doc ids are disjoint, so dict update merges cleanly
+            for doc, pos in zip(d.tolist(), splits):
+                if doc not in tomb_set:
+                    slot[doc] = pos
+        if any(t not in per_term for t in uniq):
+            return pd.DataFrame(columns=cols).astype(
+                {"doc_id": "int64", "n_occurrences": "int64"}
+            )
+        cand = set(per_term[terms[0]])
+        for t in terms[1:]:
+            cand &= per_term[t].keys()
+        out = []
+        for doc in sorted(cand):
+            p = per_term[terms[0]][doc]
+            for i, t in enumerate(terms[1:], start=1):
+                p = np.intersect1d(p, per_term[t][doc] - i)
+                if p.size == 0:
+                    break
+            if p.size:
+                out.append((doc, int(p.size), np.sort(p).astype("int32").tolist()))
+        return pd.DataFrame(out, columns=cols)
+
+    return blocks.groupBy("range_id").applyInPandas(
+        kernel, schema=PHRASE_RESULT_SCHEMA
+    )
 
 
 def phrase_match(

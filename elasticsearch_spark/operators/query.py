@@ -565,23 +565,55 @@ class QueryEngine:
         """Exact-phrase match plan ``(doc_id, n_occurrences,
         start_positions)`` over the positional index (requires the index
         to be built with ``IndexConfig(positional=True)``).  Adjacency is
-        over processed-token positions (operators/phrase.py); position
-        streams are served from the compressed blocks."""
+        over processed-token positions (operators/phrase.py).
+
+        Served by the doc-range POSITIONAL KERNEL over the compressed
+        blocks (one bounded shuffle of the phrase terms' block runs,
+        shifted-position intersection in numpy) — a k-term phrase used
+        to cost k−1 distributed joins.  Falls back to the join cascade
+        (:meth:`phrase_plan_join`) for pre-position-codec indexes."""
+        self._refresh_if_stale()
+        terms = self._phrase_terms_checked(phrase)
+        if not terms:
+            return self._empty_phrase_plan()
+        blocks = self._blocks()
+        if blocks is None:
+            return self.phrase_plan_join(phrase)
+        from .phrase import phrase_match_kernel
+
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in set(terms)})
+        pruned = blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(terms)))
+        ).select("term", "range_id", "doc_blob", "tf_blob", "len_blob", "pos_blob")
+        return phrase_match_kernel(
+            pruned, terms, self.stats["config"].get("codec", "vbyte"),
+            self._tombstones,
+        )
+
+    def phrase_plan_join(self, phrase: str) -> DataFrame:
+        """The join-cascade phrase plan (k−1 doc_id-equi joins over
+        per-term positional postings) — kept as the semantics oracle for
+        the kernel (identity pytest-enforced) and as the fallback for
+        indexes whose blocks predate the position codec."""
         from .phrase import phrase_match
 
         self._refresh_if_stale()
+        terms = self._phrase_terms_checked(phrase)
+        if not terms:
+            return self._empty_phrase_plan()
+        return phrase_match(self._positional_term_postings, terms)
+
+    def _phrase_terms_checked(self, phrase: str) -> List[str]:
         if not self.stats["config"].get("positional"):
             raise ValueError("index was not built with positional=True")
-        terms = self._terms(phrase)
-        if not terms:
-            return (
-                self._docs.select(
-                    "doc_id",
-                    F.lit(0).cast("long").alias("n_occurrences"),
-                    F.array().cast("array<int>").alias("start_positions"),
-                ).limit(0)
-            )
-        return phrase_match(self._positional_term_postings, terms)
+        return self._terms(phrase)
+
+    def _empty_phrase_plan(self) -> DataFrame:
+        return self._docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_occurrences"),
+            F.array().cast("array<int>").alias("start_positions"),
+        ).limit(0)
 
     def _turbo_phrase(self, terms: List[str], k: int) -> Optional[dict]:
         """Driver-side phrase evaluation for small slices: pyarrow

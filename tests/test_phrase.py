@@ -163,6 +163,24 @@ def test_phrase_on_updated_index_matches_rebuild(spark, tmp_index_root):
         assert by_url(d, phrase) == by_url(rb, phrase), phrase
 
 
+@pytest.mark.parametrize("phrase", PHRASES + ["machine machine"])
+def test_phrase_kernel_matches_join_plan(pos_engine, phrase):
+    """The doc-range positional kernel (one shuffle, numpy shifted
+    intersection) must equal the k-1 join cascade exactly — including a
+    repeated-term phrase, where the same position list is intersected
+    under two different shifts."""
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["n_occurrences"], list(r["start_positions"]))
+            for r in df.collect()
+        }
+
+    assert rows(pos_engine.phrase_plan(phrase)) == rows(
+        pos_engine.phrase_plan_join(phrase)
+    ), phrase
+
+
 @pytest.mark.parametrize("phrase", PHRASES)
 def test_turbo_phrase_matches_plan(spark, pos_engine, phrase):
     """Driver-side phrase (block decode + shifted intersection in numpy)
