@@ -145,24 +145,37 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
                 q, k=10, with_total_hits=False
             )
 
-    lat = []
-    for q in queries:
-        t = time.time()
-        if _is_boolean(q):
-            engine.boolean_topk(q, k=10)  # bounded path (the production shape)
-        else:
-            engine.ranked(q, k=10, with_total_hits=False)
-        lat.append(time.time() - t)
-    lat_ms = np.array(lat) * 1000
+    def lat_loop() -> "np.ndarray":
+        lat = []
+        for q in queries:
+            t = time.time()
+            if _is_boolean(q):
+                engine.boolean_topk(q, k=10)  # bounded path (the production shape)
+            else:
+                engine.ranked(q, k=10, with_total_hits=False)
+            lat.append(time.time() - t)
+        return np.array(lat) * 1000
 
-    # WAND path sample (10 ranked queries)
-    wand_lat = []
+    # first pass: mixed cold/warm (each term's first occurrence pays the
+    # pruned point read); second pass: steady state — the hot-term LRU
+    # caches hold the queryset's postings, matching the reference's
+    # measurement condition (its whole index is in RAM by construction)
+    lat_ms = lat_loop()
+    lat_warm_ms = lat_loop()
+
+    # WAND path sample (10 ranked queries), cold then steady-state
     all_ranked = [q for q in queries if not _is_boolean(q)]
-    for q in all_ranked[:10]:
-        t = time.time()
-        wand.topk(q, k=10)
-        wand_lat.append(time.time() - t)
-    wand_ms = np.array(wand_lat) * 1000
+
+    def wand_loop() -> "np.ndarray":
+        wand_lat = []
+        for q in all_ranked[:10]:
+            t = time.time()
+            wand.topk(q, k=10)
+            wand_lat.append(time.time() - t)
+        return np.array(wand_lat) * 1000
+
+    wand_ms = wand_loop()
+    wand_warm_ms = wand_loop()
 
     # batch path: all ranked queries in one job (the throughput shape)
     t = time.time()
@@ -181,8 +194,16 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
             "p99": round(float(np.percentile(lat_ms, 99)), 1),
             "mean": round(float(lat_ms.mean()), 1),
         },
+        "query_ms_warm": {
+            "p50": round(float(np.percentile(lat_warm_ms, 50)), 2),
+            "p95": round(float(np.percentile(lat_warm_ms, 95)), 2),
+            "p99": round(float(np.percentile(lat_warm_ms, 99)), 2),
+            "mean": round(float(lat_warm_ms.mean()), 2),
+        },
         "wand_ms_p50": round(float(np.percentile(wand_ms, 50)), 1),
+        "wand_ms_p50_warm": round(float(np.percentile(wand_warm_ms, 50)), 2),
         "qps_sequential": round(len(queries) / (lat_ms.sum() / 1000), 1),
+        "qps_sequential_warm": round(len(queries) / (lat_warm_ms.sum() / 1000), 1),
         "qps_batch": round(len(all_ranked) / batch_s, 1),
     }
 

@@ -128,6 +128,12 @@ class WandEngine:
         self._dictionary = self.spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self._idf_cache: Dict[str, float] = {}  # B6 idf cache (misses as 0.0)
         self._df_cache: Dict[str, int] = {}
+        # hot-term block-row cache for the turbo kernel (see
+        # _term_block_rows) — invalidated here with every other cache
+        from collections import OrderedDict
+
+        self._block_row_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._block_cache_bytes = 0
         try:
             self._manifest_mtime = os.path.getmtime(
                 os.path.join(index_dir, "manifest.json")
@@ -356,33 +362,70 @@ class WandEngine:
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         return self._turbo_topk_impl(terms, weights, buckets, k, with_total_hits)
 
-    def _turbo_topk_impl(self, terms, weights, buckets, k,
-                         with_total_hits: bool = False) -> Optional[tuple]:
+    # LRU blob-byte budget for the hot-term block cache (driver RAM; the
+    # reference holds the whole compressed index in RAM)
+    TURBO_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+    def _term_block_rows(self, terms) -> list:
+        """Block rows (ub_scale, term, range_id, max_impact, doc_blob,
+        tf_blob, len_blob) for ``terms`` across the live sources — LRU-
+        cached per term, because the pyarrow block point-read dominates
+        turbo WAND latency exactly as the postings read dominates ranked
+        latency (QueryEngine._postings_point_read).  Cached rows ARE the
+        raw read's rows, so results are identical by construction;
+        invalidated with every other cache on manifest-mtime change."""
         import pyarrow.dataset as pads
 
         from . import reader as R
 
-        cols = ["term", "range_id", "max_impact", "doc_blob", "tf_blob", "len_blob"]
-        sources = [
-            (os.path.join(self.index_dir, "blocks"), scale)
-            for _df, scale in [self._block_sources[0]]
-        ]
-        for seg, (_df, scale) in zip(
-            R.delta_segments(self._manifest), self._block_sources[1:]
-        ):
-            sources.append(
-                (os.path.join(self.index_dir, "segments", seg, "blocks"), scale)
-            )
-        rows = []  # (ub_scale, term, range_id, max_impact, blobs...)
-        try:
+        cache = self._block_row_cache
+        missing = sorted({t for t in terms if t not in cache})
+        if missing:
+            cols = ["term", "range_id", "max_impact", "doc_blob", "tf_blob", "len_blob"]
+            sources = [
+                (os.path.join(self.index_dir, "blocks"), self._block_sources[0][1])
+            ]
+            for seg, (_df, scale) in zip(
+                R.delta_segments(self._manifest), self._block_sources[1:]
+            ):
+                sources.append(
+                    (os.path.join(self.index_dir, "segments", seg, "blocks"), scale)
+                )
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            found: Dict[str, list] = {t: [] for t in missing}
             for path, scale in sources:
                 ds = pads.dataset(path, partitioning="hive")
-                expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
-                    terms
-                )
+                expr = pads.field("bucket").isin(buckets) & pads.field(
+                    "term"
+                ).isin(missing)
                 tbl = ds.to_table(columns=cols, filter=expr)
                 for i in range(tbl.num_rows):
-                    rows.append((scale, *[tbl.column(c)[i].as_py() for c in cols]))
+                    row = (scale, *[tbl.column(c)[i].as_py() for c in cols])
+                    found[row[1]].append(row)
+            for t in missing:
+                rows_t = found[t]
+                cache[t] = rows_t
+                self._block_cache_bytes += sum(
+                    len(r[4]) + len(r[5]) + len(r[6]) for r in rows_t
+                )
+            while (
+                self._block_cache_bytes > self.TURBO_CACHE_MAX_BYTES
+                and len(cache) > len(terms)
+            ):
+                _t, old = cache.popitem(last=False)
+                self._block_cache_bytes -= sum(
+                    len(r[4]) + len(r[5]) + len(r[6]) for r in old
+                )
+        out: list = []
+        for t in terms:
+            cache.move_to_end(t)
+            out.extend(cache[t])
+        return out
+
+    def _turbo_topk_impl(self, terms, weights, buckets, k,
+                         with_total_hits: bool = False) -> Optional[tuple]:
+        try:
+            rows = self._term_block_rows(terms)
         except Exception:
             return None
 
