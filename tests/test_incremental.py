@@ -270,6 +270,62 @@ def test_wand_on_updated_index_matches_taat(spark, tmp_index_root):
             assert abs(g["score"] - w["score"]) < 1e-9, q
 
 
+def test_warm_turbo_caches_invalidate_on_update(spark, tmp_index_root):
+    """The hot-term LRU caches (QueryEngine._term_postings_cache /
+    _universe_cache, WandEngine._block_row_cache) must be dropped on the
+    manifest-mtime bump an update_index causes: engines WARMED before the
+    update must answer identically to engines created after it."""
+    from elasticsearch_spark.operators.wand import WandEngine
+
+    rows = corpus_rows(280)
+    base = spark.createDataFrame(rows[:220], INPUT_SCHEMA)
+    extra = spark.createDataFrame(rows[220:], INPUT_SCHEMA)
+    d = os.path.join(tmp_index_root, "warm_inval")
+    bld = IndexBuilder(spark, d, IndexConfig(n_buckets=4, doc_range_bits=6))
+    bld.build(base)
+
+    # query terms that actually occur (high-df dictionary entries), so
+    # the warm engines really populate their postings/block caches — but
+    # df < doc_count, else idf = log(1) = 0 and WAND drops the term
+    n_docs = spark.read.parquet(os.path.join(d, "docs")).count()
+    t1, t2 = [
+        r["term"]
+        for r in spark.read.parquet(os.path.join(d, "dictionary"))
+        .filter(F.col("df") < n_docs)
+        .orderBy(F.col("df").desc(), "term").limit(2).collect()
+    ]
+    query, not_query = f"{t1} {t2}", f"{t1} NOT {t2}"
+
+    warm_q = QueryEngine(spark, d)
+    warm_w = WandEngine(spark, d)
+    before = {
+        "ranked": warm_q.ranked(query, k=10),
+        "not": warm_q.boolean_topk(not_query, k=10),  # warms _universe_cache
+        "wand": warm_w.topk(query, k=10),
+    }
+    assert warm_q._term_postings_cache and warm_w._block_row_cache
+
+    rm = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(d, "docs"))
+        .orderBy("doc_id").limit(5).collect()
+    ]
+    bld.update_index(add=extra, remove_urls=rm)
+
+    fresh_q = QueryEngine(spark, d)
+    fresh_w = WandEngine(spark, d)
+    after = {
+        "ranked": warm_q.ranked(query, k=10),
+        "not": warm_q.boolean_topk(not_query, k=10),
+        "wand": warm_w.topk(query, k=10),
+    }
+    assert after["ranked"] == fresh_q.ranked(query, k=10)
+    assert after["not"] == fresh_q.boolean_topk(not_query, k=10)
+    assert after["wand"] == fresh_w.topk(query, k=10)
+    # the update must be observable (otherwise stale caches pass trivially)
+    assert after != before
+
+
 def test_update_requires_existing_index(spark, corpora, tmp_index_root):
     base, _ = corpora
     b = IndexBuilder(spark, os.path.join(tmp_index_root, "nonexistent"))
