@@ -1,0 +1,158 @@
+"""Multi-term expansion for term-level queries: PREFIX and FUZZY —
+the Elasticsearch ``prefix`` / ``fuzzy`` query analogues the reference's
+grammar stops short of (its query language is match/boolean/phrase only;
+ES itself exposes both, so an ES user switching here expects them).
+
+Semantics (documented ES ``rewrite: scoring_boolean``):
+
+* expansion runs against the LIVE dictionary (base + delta-segment
+  partials − removal partials, ``reader.dictionary_sources``), keeps
+  terms with live df > 0, orders by (df desc, term asc) — ES's
+  ``top_terms_N`` ordering — and caps at ``max_expansions`` (ES default
+  50);
+* the expanded terms then score as a plain multi-term OR: each term
+  contributes BM25/TF-IDF with its OWN idf, summed per doc — i.e.
+  exactly ``QueryEngine.ranked(terms=expanded)``, so both serving tiers
+  (distributed plan + driver turbo) come for free and stay
+  result-identical.
+* term-level queries are NOT analyzed (ES behavior): the caller passes
+  the prefix / pattern in index-term space.
+
+Scale notes (100 TB): the dictionary is hash-bucketed (hive
+``bucket=``), so a prefix scan cannot partition-prune — but the
+dictionary is one row per distinct term (~10^7-10^8 rows at web scale,
+0.1% of postings) and the read is column-pruned (term, df) with the
+``term >= p AND term < p + MAX_CHAR`` range predicate pushed to parquet
+row-group stats.  Fuzzy with ``prefix_length >= 1`` (the ES performance
+default) prunes to the shared-prefix slice the same way; an FST/
+deletion-neighborhood sidecar would be the next structure if expansion
+ever dominated, mirroring Lucene's automaton intersection.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+# exclusive upper bound for "starts with p" as a range predicate; terms
+# are tokenizer output (no U+FFFF), so p + '￿' bounds every
+# continuation of p
+_HIGH_CHAR = "￿"
+
+ES_MAX_EXPANSIONS = 50  # ES index-level default for multi-term rewrite
+
+
+def levenshtein(a: str, b: str, limit: int) -> int:
+    """Classic (substitution/insert/delete) edit distance with an early
+    exit above ``limit`` — the same metric as DuckDB's ``levenshtein``
+    (no transpositions), which the driver gate uses as the oracle."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > limit:
+        return limit + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > limit:
+            return limit + 1
+        prev = cur
+    return prev[lb]
+
+
+def _range_scan_source(path: str, lo: str, hi: str) -> Optional[Dict[str, int]]:
+    """term -> Σdf for dictionary rows with lo <= term < hi, via a
+    driver-side pyarrow read (column-pruned, range predicate against
+    row-group stats).  None on failure (caller falls back to Spark)."""
+    try:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(path, partitioning="hive")
+        expr = (pads.field("term") >= lo) & (pads.field("term") < hi)
+        tbl = ds.to_table(columns=["term", "df"], filter=expr)
+        out: Dict[str, int] = {}
+        for term, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            out[term] = out.get(term, 0) + df
+        return out
+    except Exception:
+        return None
+
+
+def _live_range_df(spark, index_dir: str, manifest: Optional[dict],
+                   lo: str, hi: str) -> Dict[str, int]:
+    """Live signed df for every dictionary term in [lo, hi) — the range
+    twin of ``reader.live_df_lookup``."""
+    from pyspark.sql import functions as F
+
+    from .reader import dictionary_sources
+
+    totals: Dict[str, int] = {}
+    for path, sign in dictionary_sources(index_dir, manifest):
+        found = _range_scan_source(path, lo, hi)
+        if found is None:
+            rows = (
+                spark.read.parquet(path)
+                .filter((F.col("term") >= lo) & (F.col("term") < hi))
+                .select("term", "df")
+                .collect()
+            )
+            found = {}
+            for r in rows:
+                found[r["term"]] = found.get(r["term"], 0) + r["df"]
+        for t, v in found.items():
+            totals[t] = totals.get(t, 0) + sign * int(v)
+    return totals
+
+
+def _cap(matches: Dict[str, int], max_expansions: int) -> List[str]:
+    """ES top_terms ordering: live df desc, term asc, capped."""
+    live = [(t, df) for t, df in matches.items() if df > 0]
+    live.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _df in live[:max_expansions]]
+
+
+def prefix_terms(spark, index_dir: str, manifest: Optional[dict], prefix: str,
+                 max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:
+    """Indexed terms starting with ``prefix`` (live df > 0), top
+    ``max_expansions`` by (df desc, term asc)."""
+    if not prefix:
+        return []
+    totals = _live_range_df(spark, index_dir, manifest, prefix, prefix + _HIGH_CHAR)
+    # range predicate == startswith for our ascii token space; keep the
+    # guard so an exotic term sorting inside the range can't slip in
+    totals = {t: df for t, df in totals.items() if t.startswith(prefix)}
+    return _cap(totals, max_expansions)
+
+
+def fuzzy_terms(spark, index_dir: str, manifest: Optional[dict], term: str,
+                max_edits: int = 1, prefix_length: int = 1,
+                max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:
+    """Indexed terms within ``max_edits`` levenshtein of ``term`` that
+    share its first ``prefix_length`` chars (ES fuzzy semantics), top
+    ``max_expansions`` by (df desc, term asc).  ``prefix_length=0``
+    scans the whole dictionary (documented ES performance caveat)."""
+    if not term or max_edits < 0:
+        return []
+    pfx = term[: max(0, prefix_length)]
+    if len(pfx) < prefix_length:
+        # query shorter than the required shared prefix: candidates must
+        # still share ALL of the query's chars as their prefix
+        pfx = term
+    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+    totals = _live_range_df(spark, index_dir, manifest, lo, hi)
+    matched = {
+        t: df
+        for t, df in totals.items()
+        if abs(len(t) - len(term)) <= max_edits
+        and levenshtein(t, term, max_edits) <= max_edits
+    }
+    return _cap(matched, max_expansions)

@@ -285,18 +285,24 @@ class QueryEngine:
         return term_a, doc, tf, dl
 
     def _turbo_ranked(self, query: str, k: int, method: str,
-                      want_total: bool) -> Optional[dict]:
+                      want_total: bool,
+                      terms: Optional[List[str]] = None) -> Optional[dict]:
         """Serve a ranked query entirely on the driver when the candidate
         slice is small (Σ live df ≤ TURBO_MAX_POSTINGS): pyarrow pruned
         read + vectorized numpy scoring, zero Spark jobs.  Returns None
         when not applicable — the caller falls back to the distributed
         plan.  Result values are identical to the plan path (same
-        formula, float64; rank-identity enforced by tests)."""
+        formula, float64; rank-identity enforced by tests).
+
+        ``terms`` bypasses tokenization — used by the multi-term
+        expansion queries (prefix/fuzzy), whose dictionary terms are
+        already analyzed."""
         if not self.turbo:
             return None
         import numpy as np
 
-        terms = self._terms(query)
+        if terms is None:
+            terms = self._terms(query)
         idf_map = self.term_idf(terms)
         live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
         if not live:
@@ -408,10 +414,13 @@ class QueryEngine:
             .agg(F.sum("score").alias("score"))
         )
 
-    def score_plan(self, query: str, method: str = "bm25") -> Optional[DataFrame]:
+    def score_plan(self, query: str, method: str = "bm25",
+                   terms: Optional[List[str]] = None) -> Optional[DataFrame]:
         """The full scoring DataFrame (doc_id, score) for a free-text
-        query — no top-k truncation.  None if no query term is indexed."""
-        terms = self._terms(query)
+        query — no top-k truncation.  None if no query term is indexed.
+        ``terms`` bypasses tokenization (prefix/fuzzy expansions)."""
+        if terms is None:
+            terms = self._terms(query)
         idf_map = self.term_idf(terms)
         # reference semantics: skip missing terms and idf==0 terms
         terms = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
@@ -450,7 +459,8 @@ class QueryEngine:
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def ranked(self, query: str, k: int = 10, method: str = "bm25",
-               with_total_hits: bool = True) -> dict:
+               with_total_hits: bool = True,
+               terms: Optional[List[str]] = None) -> dict:
         """Reference result shape ``{query, total_hits, results:[{doc_id,
         score}]}`` with the deterministic (score desc, doc_id asc)
         tie-break.
@@ -463,11 +473,11 @@ class QueryEngine:
 
         Small candidate slices are served by the driver-side turbo path
         (zero Spark jobs, identical results — see class docstring)."""
-        res = self._turbo_ranked(query, k, method, with_total_hits)
+        res = self._turbo_ranked(query, k, method, with_total_hits, terms=terms)
         if res is not None:
             return res
         if not with_total_hits:
-            plan = self.score_plan(query, method)
+            plan = self.score_plan(query, method, terms=terms)
             if plan is None:
                 return {"query": query, "total_hits": None, "results": []}
             with self._interactive():
@@ -481,7 +491,7 @@ class QueryEngine:
                 "total_hits": None,
                 "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
             }
-        plan = self.score_plan(query, method)
+        plan = self.score_plan(query, method, terms=terms)
         if plan is None:
             return {"query": query, "total_hits": 0, "results": []}
         # total_hits rides the SAME top-k job as an Observation on the
@@ -1082,11 +1092,126 @@ class QueryEngine:
             out[queries[r["qid"]]].append({"doc_id": r["doc_id"], "score": r["score"]})
         return out
 
+    # ------------------------------------- term-level expansion queries
+    def prefix_expand(self, prefix: str,
+                      max_expansions: int = 50) -> List[str]:
+        """Indexed terms starting with ``prefix`` — live df > 0, ordered
+        (df desc, term asc), capped at ``max_expansions`` (ES prefix
+        expansion; see operators/expand.py for semantics + scale notes).
+        Term-level: ``prefix`` is NOT analyzed (ES behavior)."""
+        from . import expand as X
+
+        self._refresh_if_stale()
+        return X.prefix_terms(
+            self.spark, self.index_dir, self._manifest, prefix, max_expansions
+        )
+
+    def fuzzy_expand(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 1,
+                     max_expansions: int = 50) -> List[str]:
+        """Indexed terms within ``max_edits`` levenshtein of ``term``
+        sharing its first ``prefix_length`` chars (ES fuzzy)."""
+        from . import expand as X
+
+        self._refresh_if_stale()
+        return X.fuzzy_terms(
+            self.spark, self.index_dir, self._manifest, term,
+            max_edits, prefix_length, max_expansions,
+        )
+
+    def prefix_ranked(self, prefix: str, k: int = 10, method: str = "bm25",
+                      max_expansions: int = 50,
+                      with_total_hits: bool = True) -> dict:
+        """ES ``prefix`` query with ``rewrite: scoring_boolean``: expand
+        against the live dictionary, then score the expanded terms as a
+        multi-term OR (each with its own idf) — both serving tiers of
+        :meth:`ranked` apply unchanged."""
+        terms = self.prefix_expand(prefix, max_expansions)
+        label = f"{prefix}*"
+        if not terms:
+            return {"query": label,
+                    "total_hits": 0 if with_total_hits else None,
+                    "results": []}
+        return self.ranked(label, k, method, with_total_hits, terms=terms)
+
+    def fuzzy_ranked(self, term: str, k: int = 10, max_edits: int = 1,
+                     prefix_length: int = 1, method: str = "bm25",
+                     max_expansions: int = 50,
+                     with_total_hits: bool = True) -> dict:
+        """ES ``fuzzy`` query, scoring_boolean rewrite (see
+        :meth:`prefix_ranked`)."""
+        terms = self.fuzzy_expand(term, max_edits, prefix_length, max_expansions)
+        label = f"{term}~{max_edits}"
+        if not terms:
+            return {"query": label,
+                    "total_hits": 0 if with_total_hits else None,
+                    "results": []}
+        return self.ranked(label, k, method, with_total_hits, terms=terms)
+
+    # ----------------------------------------------- facets (aggregations)
+    def match_plan(self, terms: Sequence[str]) -> DataFrame:
+        """Distinct (doc_id, doc_len) matching ANY of the analyzed
+        ``terms`` — the hit set an ES aggregation runs over.  Pruned
+        postings scan (bucket partitions + term predicate), one
+        distinct; composes into facet plans without materializing hits
+        on the driver."""
+        self._refresh_if_stale()
+        return (
+            self._pruned_postings(sorted(set(terms)))
+            .select("doc_id", "doc_len")
+            .distinct()
+        )
+
+    def facet_doc_len(self, terms: Sequence[str],
+                      bin_width: int = 16) -> DataFrame:
+        """ES histogram aggregation over the hit set: (bin_lo, n_docs)
+        with bin_lo = floor(doc_len / bin_width) * bin_width.  Entirely
+        index-resident (doc_len rides the postings rows) — scan + one
+        partial-agg shuffle, no join."""
+        return (
+            self.match_plan(terms)
+            .groupBy(
+                (F.floor(F.col("doc_len") / bin_width) * bin_width)
+                .cast("long")
+                .alias("bin_lo")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
+    def facet_counts(self, terms: Sequence[str], dims: DataFrame,
+                     on: str = "doc_id", col: str = "source") -> DataFrame:
+        """ES terms aggregation over an external attribute table (the
+        data-lake pattern: the index holds the search structure, doc
+        attributes stay in their parquet table): hit set ⋈ dims on
+        ``on``, count per ``col``.  The hit set is the small side —
+        Catalyst/AQE broadcasts it when it fits."""
+        return (
+            self.match_plan(terms)
+            .select(on)
+            .join(dims, on)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
     # -------------------------------------------------------------- router
     def query(self, query: str, k: int = 10, method: str = "bm25") -> dict:
         """Dispatch boolean vs ranked exactly like the reference
-        (``selfindex_i0_no_optimization.py:126-132``): boolean results
-        carry score 1.0, unranked, truncated to k."""
+        (``selfindex_i0_no_optimization.py:126-132``), plus the Lucene
+        term-level suffixes ES users expect: a single-token ``foo*``
+        routes to :meth:`prefix_ranked`, ``foo~`` / ``foo~1`` /
+        ``foo~2`` to :meth:`fuzzy_ranked`.  Boolean results carry score
+        1.0, unranked, truncated to k."""
+        q = query.strip()
+        if q and " " not in q:
+            if q.endswith("*") and len(q) > 1 and not q.endswith("**"):
+                return self.prefix_ranked(q[:-1], k, method)
+            import re as _re
+
+            m = _re.fullmatch(r"(.+?)~([012])?", q)
+            if m and not m.group(1).endswith("~"):
+                return self.fuzzy_ranked(
+                    m.group(1), k, int(m.group(2) or 1), method=method
+                )
         if is_boolean_query(query):
             return self.boolean_topk(query, k)
         return self.ranked(query, k, method)

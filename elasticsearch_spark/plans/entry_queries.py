@@ -786,6 +786,99 @@ def merge_dictionary(spark, sf_dir):
     return seg_a.unionByName(seg_b).groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
 
+# ------------------------------- term-level expansion queries + facets
+
+def _expansion_bm25_sql(pred: str, k: int = 10, max_exp: int = 50) -> str:
+    """Oracle for the ES scoring_boolean rewrite: expand dictionary
+    terms matching ``pred`` (df desc, term asc, LIMIT max_exp — the
+    engine's exact expansion order), then score the expanded set as a
+    multi-term BM25 OR."""
+    return f"""WITH {_TOK_CTE},
+dfall AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+exp AS (SELECT term FROM dfall WHERE {pred} ORDER BY df DESC, term LIMIT {max_exp}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN (SELECT term FROM exp) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_prefix_topk", _expansion_bm25_sql("term LIKE 's%'"))
+def engine_prefix_topk(spark, sf_dir):
+    """ES ``prefix`` query served from the real index: live-dictionary
+    range-scan expansion ('s' -> scan/small/sort/spark/stream/slow),
+    then the DISTRIBUTED multi-term scoring plan (the turbo tier is
+    pytest-identity-checked against it)."""
+    eng = _engine(spark, sf_dir)
+    terms = eng.prefix_expand("s")
+    plan = eng.score_plan("s*", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_fuzzy_topk",
+    _expansion_bm25_sql(
+        "substr(term, 1, 1) = 's' AND levenshtein(term, 'smal') <= 2"
+    ),
+)
+def engine_fuzzy_topk(spark, sf_dir):
+    """ES ``fuzzy`` query served from the real index: edit-distance
+    expansion ('smal'~2, prefix_length=1 -> scan/small) then the
+    distributed scoring plan.  DuckDB's ``levenshtein`` is the oracle
+    for the engine's python twin (operators/expand.py)."""
+    eng = _engine(spark, sf_dir)
+    terms = eng.fuzzy_expand("smal", max_edits=2, prefix_length=1)
+    plan = eng.score_plan("smal~2", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "facet_doc_len_hist",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT tok.doc_id, dl.doc_len FROM tok
+         JOIN dl ON tok.doc_id = dl.doc_id
+         WHERE tok.term IN ({_sql_terms(Q2_TERMS)}))
+SELECT CAST(floor(doc_len / 16) * 16 AS BIGINT) AS bin_lo,
+       count(*)::BIGINT AS n_docs
+FROM hits GROUP BY 1""",
+)
+def facet_doc_len_hist(spark, sf_dir):
+    """ES histogram aggregation over a query's hit set, served entirely
+    from the index (doc_len rides the postings rows — scan + one
+    partial-agg shuffle, no join)."""
+    eng = _engine(spark, sf_dir)
+    return eng.facet_doc_len(Q2_TERMS, bin_width=16)
+
+
+@register(
+    "facet_source_counts",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_sql_terms(Q1_TERMS)}))
+SELECT d.source, count(*)::BIGINT AS n_docs
+FROM hits JOIN documents d USING (doc_id) GROUP BY d.source""",
+)
+def facet_source_counts(spark, sf_dir):
+    """ES terms aggregation over an external attribute column (the
+    data-lake pattern): index hit set ⋈ documents.source — the hit set
+    is the broadcast side when small, attributes never leave their
+    parquet table."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir, lang=None).select("doc_id", "source")
+    return eng.facet_counts(Q1_TERMS, dims, col="source")
+
+
 # ------------------------------------------- training-data pipeline ops
 
 @register(

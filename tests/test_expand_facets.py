@@ -1,0 +1,182 @@
+"""Term-level expansion queries (ES prefix/fuzzy analogues) and facet
+aggregations: expansion semantics, turbo≡plan identity, router
+dispatch, and the levenshtein twin vs DuckDB's oracle metric."""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+from elasticsearch_spark.operators.expand import levenshtein
+from elasticsearch_spark.operators.query import QueryEngine
+from elasticsearch_spark.sources.webtext import corpus_rows
+from tests.test_spark_engine import INPUT_SCHEMA
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_index_root):
+    d = os.path.join(tmp_index_root, "expand_facets")
+    corpus = spark.createDataFrame(corpus_rows(N_DOCS), INPUT_SCHEMA)
+    m = IndexBuilder(spark, d, IndexConfig(n_buckets=8, doc_range_bits=6)).build(corpus)
+    assert m["finalized"]
+    return d
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return QueryEngine(spark, index_dir)
+
+
+def test_levenshtein_matches_duckdb():
+    """The python twin must agree with DuckDB's levenshtein (the gate
+    oracle metric: substitution/insert/delete, no transposition)."""
+    import duckdb
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 6)))
+        for _ in range(60)
+    ]
+    pairs = [(a, b) for a in words[:30] for b in words[30:]]
+    for a, b in pairs:
+        want = duckdb.sql(f"select levenshtein('{a}', '{b}')").fetchone()[0]
+        got = levenshtein(a, b, 10)
+        assert got == want, (a, b)
+    # the early-exit contract: anything above limit reports limit+1
+    assert levenshtein("abcdef", "zzzzzz", 2) == 3
+
+
+def test_prefix_expand_order_and_cap(spark, engine):
+    """Expansion = startswith matches with live df > 0, ordered
+    (df desc, term asc), capped at max_expansions."""
+    dict_rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    by_prefix = sorted(
+        ((r["term"], r["df"]) for r in dict_rows if r["term"].startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = [t for t, _ in by_prefix]
+    assert engine.prefix_expand("s", max_expansions=1000) == want
+    assert engine.prefix_expand("s", max_expansions=3) == want[:3]
+    assert engine.prefix_expand("zzzznope") == []
+
+
+def test_fuzzy_expand_semantics(spark, engine):
+    """Candidates share the first prefix_length chars and sit within
+    max_edits levenshtein; max_edits=0 degenerates to an exact lookup."""
+    dict_rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    target = max(dict_rows, key=lambda r: r["df"])["term"]
+    assert engine.fuzzy_expand(target, max_edits=0) == [target]
+    got = set(engine.fuzzy_expand(target, max_edits=2, prefix_length=1))
+    want = {
+        r["term"]
+        for r in dict_rows
+        if r["term"][:1] == target[:1] and levenshtein(r["term"], target, 2) <= 2
+    }
+    assert got == want
+    # prefix_length guard: every candidate shares the required prefix
+    for t in engine.fuzzy_expand(target, max_edits=2, prefix_length=2):
+        assert t[:2] == target[:2]
+
+
+@pytest.mark.parametrize("kind", ["prefix", "fuzzy"])
+def test_expansion_turbo_matches_plan(spark, index_dir, kind):
+    """Both serving tiers of the expansion queries must be
+    rank-identical with scores equal to 1e-9 (the engine-wide identity
+    standard)."""
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    if kind == "prefix":
+        got = turbo.prefix_ranked("s", k=10)
+        want = plan.prefix_ranked("s", k=10)
+    else:
+        got = turbo.fuzzy_ranked("visit", k=10, max_edits=2)
+        want = plan.fuzzy_ranked("visit", k=10, max_edits=2)
+    assert got["total_hits"] == want["total_hits"]
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_expansion_equals_multi_term_or(engine):
+    """scoring_boolean rewrite: the expansion query IS the multi-term OR
+    of its expanded terms (each with its own idf)."""
+    terms = engine.prefix_expand("s")
+    assert terms
+    via_terms = engine.ranked("s*", k=10, terms=terms)
+    via_prefix = engine.prefix_ranked("s", k=10)
+    assert via_prefix == via_terms
+
+
+def test_router_dispatches_term_level_suffixes(engine):
+    assert engine.query("s*", k=5) == engine.prefix_ranked("s", k=5)
+    assert engine.query("visit~2", k=5) == engine.fuzzy_ranked(
+        "visit", k=5, max_edits=2
+    )
+    assert engine.query("visit~", k=5) == engine.fuzzy_ranked(
+        "visit", k=5, max_edits=1
+    )
+
+
+def test_empty_expansion_result_shape(engine):
+    res = engine.prefix_ranked("qqqqzz", k=5)
+    assert res == {"query": "qqqqzz*", "total_hits": 0, "results": []}
+
+
+def test_facet_doc_len_hist(spark, engine):
+    """Histogram facet must equal an independent recompute from the live
+    postings view (distinct hit docs, binned doc_len)."""
+    from elasticsearch_spark.operators.reader import live_postings
+
+    terms = engine.prefix_expand("s")[:3]
+    got = {
+        (r["bin_lo"], r["n_docs"])
+        for r in engine.facet_doc_len(terms, bin_width=8).collect()
+    }
+    hits = (
+        live_postings(spark, engine.index_dir)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "doc_len")
+        .distinct()
+    )
+    want = {
+        (r["bin_lo"], r["n_docs"])
+        for r in hits.groupBy(
+            (F.floor(F.col("doc_len") / 8) * 8).cast("long").alias("bin_lo")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_facet_counts_external_dim(spark, engine):
+    """Terms facet over an external attribute table: counts must equal a
+    driver-side recompute from the hit set."""
+    terms = engine.prefix_expand("s")[:2]
+    hit_ids = {r["doc_id"] for r in engine.match_plan(terms).collect()}
+    dims = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("shard"),
+    )
+    got = {
+        (r["shard"], r["n_docs"])
+        for r in engine.facet_counts(terms, dims, col="shard").collect()
+    }
+    from collections import Counter
+
+    want_c = Counter(str(i % 4) for i in hit_ids)
+    assert got == {(s, n) for s, n in want_c.items()} and got
