@@ -286,7 +286,9 @@ class QueryEngine:
 
     def _turbo_ranked(self, query: str, k: int, method: str,
                       want_total: bool,
-                      terms: Optional[List[str]] = None) -> Optional[dict]:
+                      terms: Optional[List[str]] = None,
+                      search_after: Optional[Tuple[float, int]] = None,
+                      ) -> Optional[dict]:
         """Serve a ranked query entirely on the driver when the candidate
         slice is small (Σ live df ≤ TURBO_MAX_POSTINGS): pyarrow pruned
         read + vectorized numpy scoring, zero Spark jobs.  Returns None
@@ -349,10 +351,17 @@ class QueryEngine:
         s = weights[codes] * impact
         docs_u, inv = np.unique(doc, return_inverse=True)
         scores = np.bincount(inv, weights=s)
+        total = int(docs_u.size)
+        if search_after is not None:
+            sa_score, sa_doc = float(search_after[0]), int(search_after[1])
+            keep = (scores < sa_score) | (
+                (scores == sa_score) & (docs_u > sa_doc)
+            )
+            docs_u, scores = docs_u[keep], scores[keep]
         order = np.lexsort((docs_u, -scores))[:k]
         return {
             "query": query,
-            "total_hits": int(docs_u.size) if want_total else None,
+            "total_hits": total if want_total else None,
             "results": [
                 {"doc_id": int(docs_u[i]), "score": float(scores[i])} for i in order
             ],
@@ -460,7 +469,8 @@ class QueryEngine:
 
     def ranked(self, query: str, k: int = 10, method: str = "bm25",
                with_total_hits: bool = True,
-               terms: Optional[List[str]] = None) -> dict:
+               terms: Optional[List[str]] = None,
+               search_after: Optional[Tuple[float, int]] = None) -> dict:
         """Reference result shape ``{query, total_hits, results:[{doc_id,
         score}]}`` with the deterministic (score desc, doc_id asc)
         tie-break.
@@ -473,13 +483,17 @@ class QueryEngine:
 
         Small candidate slices are served by the driver-side turbo path
         (zero Spark jobs, identical results — see class docstring)."""
-        res = self._turbo_ranked(query, k, method, with_total_hits, terms=terms)
+        res = self._turbo_ranked(
+            query, k, method, with_total_hits, terms=terms,
+            search_after=search_after,
+        )
         if res is not None:
             return res
         if not with_total_hits:
             plan = self.score_plan(query, method, terms=terms)
             if plan is None:
                 return {"query": query, "total_hits": None, "results": []}
+            plan = self._apply_search_after(plan, search_after)
             with self._interactive():
                 top = (
                     plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -499,9 +513,15 @@ class QueryEngine:
         # consumes every child row, so the count is exact and the old
         # persist + second count() action is gone (2 jobs -> 1).
         obs = Observation()
+        # total_hits counts the FULL match set (ES semantics): the
+        # Observation sits below the search_after cursor filter, and
+        # every child row still flows through it on the way to the filter
+        obs_plan = self._apply_search_after(
+            plan.observe(obs, F.count(F.lit(1)).alias("n")), search_after
+        )
         with self._interactive():
             top = (
-                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                obs_plan
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k)
                 .collect()
@@ -512,6 +532,24 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
         }
+
+    @staticmethod
+    def _apply_search_after(plan: DataFrame,
+                            search_after: Optional[Tuple[float, int]]
+                            ) -> DataFrame:
+        """ES ``search_after`` keyset pagination: keep rows strictly
+        after the (score, doc_id) cursor in (score desc, doc_id asc)
+        order.  Stateless deep pagination — each page is one bounded
+        top-k job, never an OFFSET scan-and-discard.  Cursors carry the
+        exact float64 sort values of the previous page (valid within a
+        serving tier; the tiers agree to 1e-9)."""
+        if search_after is None:
+            return plan
+        sa_score, sa_doc = float(search_after[0]), int(search_after[1])
+        return plan.filter(
+            (F.col("score") < sa_score)
+            | ((F.col("score") == sa_score) & (F.col("doc_id") > sa_doc))
+        )
 
     def topk_df(self, query: str, k: int = 10, method: str = "bm25") -> DataFrame:
         """Top-k as a DataFrame (for the driver correctness harness)."""
@@ -1192,6 +1230,93 @@ class QueryEngine:
             .groupBy(col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
+
+    # -------------------------------------------------------- highlighting
+    def highlight_plan(self, query: str, k: int = 10, window: int = 10,
+                       method: str = "bm25") -> DataFrame:
+        """ES highlighting: top-k docs + the best ``window``-token
+        snippet per doc — the window anchored at a match position with
+        the most query-term hits (ties: earliest anchor), rendered from
+        the live forward index (``tokens`` tables).
+
+        Plan shape: bounded top-k (k rows) broadcast-joined to the
+        forward index, positions exploded for the k docs only, window
+        density via a bounded positions self-join — nothing corpus-sized
+        shuffles, so the plan survives any corpus scale.  Returns
+        (doc_id, score, snippet)."""
+        from .reader import live_tokens
+
+        self._refresh_if_stale()
+        terms = sorted(set(self._terms(query)))
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, snippet string"
+        )
+        if not terms:
+            return empty
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return empty
+        top = plan.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        toks = live_tokens(self.spark, self.index_dir, self._manifest)
+        hit_toks = toks.join(F.broadcast(top), "doc_id").select(
+            "doc_id", "score", "tokens"
+        )
+        pos = (
+            hit_toks.select(
+                "doc_id", F.posexplode("tokens").alias("pos", "tok")
+            )
+            .filter(F.col("tok").isin(terms))
+            .select("doc_id", "pos")
+        )
+        a = pos.select(
+            F.col("doc_id").alias("a_doc"), F.col("pos").alias("anchor")
+        )
+        b = pos.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("p"))
+        density = (
+            a.join(
+                b,
+                (F.col("a_doc") == F.col("b_doc"))
+                & (F.col("p") >= F.col("anchor"))
+                & (F.col("p") <= F.col("anchor") + (window - 1)),
+            )
+            .groupBy("a_doc", "anchor")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        from pyspark.sql import Window as W
+
+        best = (
+            density.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("a_doc").orderBy(
+                        F.col("hits").desc(), F.col("anchor").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("a_doc").alias("doc_id"), "anchor")
+        )
+        return hit_toks.join(best, "doc_id").select(
+            "doc_id",
+            "score",
+            F.array_join(
+                F.slice(F.col("tokens"), F.col("anchor") + 1, window), " "
+            ).alias("snippet"),
+        )
+
+    def highlight(self, query: str, k: int = 10, window: int = 10,
+                  method: str = "bm25") -> List[dict]:
+        """Collected :meth:`highlight_plan`, ordered (score desc,
+        doc_id asc) — the user-facing result list."""
+        rows = (
+            self.highlight_plan(query, k, window, method)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .collect()
+        )
+        return [
+            {"doc_id": r["doc_id"], "score": r["score"], "snippet": r["snippet"]}
+            for r in rows
+        ]
 
     # -------------------------------------------------------------- router
     def query(self, query: str, k: int = 10, method: str = "bm25") -> dict:

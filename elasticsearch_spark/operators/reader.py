@@ -117,6 +117,25 @@ def live_docs(spark: SparkSession, index_dir: str,
     return filter_tombstones(_union(parts), tombstones(manifest))
 
 
+def live_tokens(spark: SparkSession, index_dir: str,
+                manifest: Optional[dict] = None) -> DataFrame:
+    """Live forward index (doc_id, tokens): base ∪ delta-segment tokens
+    tables, tombstone-filtered — the highlight operator's snippet
+    source."""
+    manifest = manifest or load_manifest(index_dir)
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, "tokens")).select(
+            "doc_id", "tokens"
+        )
+    ]
+    for seg in delta_segments(manifest):
+        parts.append(
+            spark.read.parquet(os.path.join(index_dir, "segments", seg, "tokens"))
+            .select("doc_id", "tokens")
+        )
+    return filter_tombstones(_union(parts), tombstones(manifest))
+
+
 def live_blocks(spark: SparkSession, index_dir: str, manifest: Optional[dict] = None,
                 stats: Optional[dict] = None) -> List[Tuple[DataFrame, float]]:
     """[(blocks_df, ub_scale)] — one entry for the base blocks and one

@@ -879,6 +879,99 @@ def facet_source_counts(spark, sf_dir):
     return eng.facet_counts(Q1_TERMS, dims, col="source")
 
 
+@register(
+    "engine_search_after_page2",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q2_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0 GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10 OFFSET 10""",
+)
+def engine_search_after_page2(spark, sf_dir):
+    """ES search_after deep pagination: page 2 fetched via the keyset
+    cursor (score, doc_id) of page 1's last row — a bounded top-k job
+    with a pushed filter, never an OFFSET scan-and-discard (the shape
+    that stays O(k) at page 1000).  Must equal the oracle's OFFSET
+    formulation exactly (the (score_r, doc_id) order is total, so
+    keyset ≡ offset).  Cursor and filter use the 6-dp rounded score on
+    both sides so cross-engine last-ulp noise cannot shift the page
+    boundary."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.score_plan(" ".join(Q2_TERMS))
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    rounded = plan.select("doc_id", F.round("score", 6).alias("score_r"))
+    page1 = (
+        rounded.orderBy(F.col("score_r").desc(), F.col("doc_id")).limit(10).collect()
+    )
+    if len(page1) < 10:
+        return rounded.limit(0)
+    cur_s, cur_d = page1[-1]["score_r"], page1[-1]["doc_id"]
+    return (
+        rounded.filter(
+            (F.col("score_r") < cur_s)
+            | ((F.col("score_r") == cur_s) & (F.col("doc_id") > cur_d))
+        )
+        .orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+def _highlight_sql(terms, k: int = 10, window: int = 10) -> str:
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0 GROUP BY tf.doc_id),
+top AS (SELECT doc_id, round(score, 6) AS score_r FROM scored
+        ORDER BY round(score, 6) DESC, doc_id LIMIT {k}),
+t AS (SELECT doc_id, string_split(text, ' ') AS L
+      FROM documents WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM top)),
+pos AS (SELECT doc_id, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t)
+        WHERE L[i] IN ({_sql_terms(terms)})),
+cnt AS (SELECT a.doc_id, a.i, count(*)::BIGINT AS hits
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+                           AND b.i BETWEEN a.i AND a.i + {window - 1}
+        GROUP BY a.doc_id, a.i),
+best AS (SELECT doc_id, i FROM (
+           SELECT doc_id, i,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY hits DESC, i) AS rn
+           FROM cnt) WHERE rn = 1)
+SELECT top.doc_id, top.score_r,
+       array_to_string(t.L[best.i : best.i + {window - 1}], ' ') AS snippet
+FROM top JOIN best ON top.doc_id = best.doc_id
+         JOIN t ON top.doc_id = t.doc_id"""
+
+
+@register("engine_highlight_topk", _highlight_sql(Q1_TERMS))
+def engine_highlight_topk(spark, sf_dir):
+    """ES highlighting served from the live forward index: top-k docs +
+    the densest 10-token window (most query-term positions, earliest
+    anchor on ties) as the snippet.  The plan broadcast-joins the k-row
+    top-k to the tokens table and self-joins only those docs' match
+    positions — nothing corpus-sized shuffles."""
+    eng = _engine(spark, sf_dir)
+    return eng.highlight_plan(" ".join(Q1_TERMS), k=10, window=10).select(
+        "doc_id", F.round("score", 6).alias("score_r"), "snippet"
+    )
+
+
 # ------------------------------------------- training-data pipeline ops
 
 @register(

@@ -163,6 +163,67 @@ def test_facet_doc_len_hist(spark, engine):
     assert got == want and got
 
 
+def test_search_after_pages_stitch(spark, index_dir):
+    """Keyset pagination invariant: page1 + page2(search_after=page1's
+    last sort values) == top-2k, on BOTH serving tiers; total_hits stays
+    the full match count on every page."""
+    q = "visit mail sparkhead"
+    for turbo in (True, False):
+        eng = QueryEngine(spark, index_dir, turbo=turbo)
+        full = eng.ranked(q, k=20)
+        page1 = eng.ranked(q, k=10)
+        cur = (page1["results"][-1]["score"], page1["results"][-1]["doc_id"])
+        page2 = eng.ranked(q, k=10, search_after=cur)
+        assert page2["total_hits"] == full["total_hits"]
+        got = [r["doc_id"] for r in page1["results"] + page2["results"]]
+        assert got == [r["doc_id"] for r in full["results"]], turbo
+
+
+def test_search_after_turbo_matches_plan(spark, index_dir):
+    q = "visit mail"
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    cur = (turbo.ranked(q, k=5)["results"][-1]["score"],
+           turbo.ranked(q, k=5)["results"][-1]["doc_id"])
+    got = turbo.ranked(q, k=5, search_after=cur)
+    want = plan.ranked(q, k=5, search_after=cur)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_highlight_best_window(spark, engine):
+    """The snippet must be the densest window by a driver-side
+    recompute over the forward index (most match positions, earliest
+    anchor), rendered as space-joined tokens."""
+    from elasticsearch_spark.operators.reader import live_tokens
+
+    q = "visit mail"
+    window = 8
+    res = engine.highlight(q, k=5, window=window)
+    assert res
+    terms = set(engine._terms(q))
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in live_tokens(spark, engine.index_dir)
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in res]))
+        .collect()
+    }
+    ranked = engine.ranked(q, k=5)
+    assert [r["doc_id"] for r in res] == [r["doc_id"] for r in ranked["results"]]
+    for r in res:
+        L = toks[r["doc_id"]]
+        match_pos = [i for i, t in enumerate(L) if t in terms]
+        assert match_pos
+        best = max(
+            match_pos,
+            key=lambda p: (sum(1 for m in match_pos if p <= m <= p + window - 1), -p),
+        )
+        assert r["snippet"] == " ".join(L[best:best + window])
+
+
 def test_facet_counts_external_dim(spark, engine):
     """Terms facet over an external attribute table: counts must equal a
     driver-side recompute from the hit set."""
