@@ -288,6 +288,7 @@ class QueryEngine:
                       want_total: bool,
                       terms: Optional[List[str]] = None,
                       search_after: Optional[Tuple[float, int]] = None,
+                      exclude_docs: Optional[Sequence[int]] = None,
                       ) -> Optional[dict]:
         """Serve a ranked query entirely on the driver when the candidate
         slice is small (Σ live df ≤ TURBO_MAX_POSTINGS): pyarrow pruned
@@ -351,6 +352,9 @@ class QueryEngine:
         s = weights[codes] * impact
         docs_u, inv = np.unique(doc, return_inverse=True)
         scores = np.bincount(inv, weights=s)
+        if exclude_docs:
+            keep = ~np.isin(docs_u, np.asarray(sorted(exclude_docs), dtype=np.int64))
+            docs_u, scores = docs_u[keep], scores[keep]
         total = int(docs_u.size)
         if search_after is not None:
             sa_score, sa_doc = float(search_after[0]), int(search_after[1])
@@ -470,7 +474,8 @@ class QueryEngine:
     def ranked(self, query: str, k: int = 10, method: str = "bm25",
                with_total_hits: bool = True,
                terms: Optional[List[str]] = None,
-               search_after: Optional[Tuple[float, int]] = None) -> dict:
+               search_after: Optional[Tuple[float, int]] = None,
+               exclude_docs: Optional[Sequence[int]] = None) -> dict:
         """Reference result shape ``{query, total_hits, results:[{doc_id,
         score}]}`` with the deterministic (score desc, doc_id asc)
         tie-break.
@@ -485,7 +490,7 @@ class QueryEngine:
         (zero Spark jobs, identical results — see class docstring)."""
         res = self._turbo_ranked(
             query, k, method, with_total_hits, terms=terms,
-            search_after=search_after,
+            search_after=search_after, exclude_docs=exclude_docs,
         )
         if res is not None:
             return res
@@ -493,6 +498,7 @@ class QueryEngine:
             plan = self.score_plan(query, method, terms=terms)
             if plan is None:
                 return {"query": query, "total_hits": None, "results": []}
+            plan = self._apply_exclude(plan, exclude_docs)
             plan = self._apply_search_after(plan, search_after)
             with self._interactive():
                 top = (
@@ -513,11 +519,15 @@ class QueryEngine:
         # consumes every child row, so the count is exact and the old
         # persist + second count() action is gone (2 jobs -> 1).
         obs = Observation()
-        # total_hits counts the FULL match set (ES semantics): the
-        # Observation sits below the search_after cursor filter, and
-        # every child row still flows through it on the way to the filter
+        # total_hits counts the FULL match set (ES semantics; doc
+        # exclusion is part of the query, the pagination cursor is not):
+        # the Observation sits above the exclusion filter but below the
+        # search_after filter, and every child row still flows through
+        # it on the way to the cursor filter
         obs_plan = self._apply_search_after(
-            plan.observe(obs, F.count(F.lit(1)).alias("n")), search_after
+            self._apply_exclude(plan, exclude_docs)
+            .observe(obs, F.count(F.lit(1)).alias("n")),
+            search_after,
         )
         with self._interactive():
             top = (
@@ -532,6 +542,15 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
         }
+
+    @staticmethod
+    def _apply_exclude(plan: DataFrame,
+                       exclude_docs: Optional[Sequence[int]]) -> DataFrame:
+        """Drop explicitly excluded doc_ids (e.g. more_like_this's
+        source doc) — part of the query, so total_hits excludes them."""
+        if not exclude_docs:
+            return plan
+        return plan.filter(~F.col("doc_id").isin([int(d) for d in exclude_docs]))
 
     @staticmethod
     def _apply_search_after(plan: DataFrame,
@@ -1229,6 +1248,104 @@ class QueryEngine:
             .join(dims, on)
             .groupBy(col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
+    # ------------------------------------------------------ more-like-this
+    def mlt_terms(self, doc_id: int, max_query_terms: int = 25) -> List[str]:
+        """ES more_like_this term selection: the source doc's terms
+        ranked by tf·idf (live idf; idf==0 terms dropped, mirroring the
+        scoring semantics), ties broken by term asc, capped at
+        ``max_query_terms`` (ES default 25).  The source doc's tokens
+        are one forward-index row — a single pruned read."""
+        from .reader import live_tokens
+
+        self._refresh_if_stale()
+        rows = (
+            live_tokens(self.spark, self.index_dir, self._manifest)
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("tokens")
+            .collect()
+        )
+        if not rows:
+            return []
+        from collections import Counter
+
+        tf = Counter(rows[0]["tokens"])
+        idf = self.term_idf(sorted(tf))
+        scored = [
+            (t, c * idf[t]) for t, c in tf.items() if idf.get(t, 0.0) != 0.0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _s in scored[:max_query_terms]]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 25, method: str = "bm25",
+                       with_total_hits: bool = True) -> dict:
+        """ES ``more_like_this``: rank docs similar to ``doc_id`` by
+        running its top tf·idf terms as a multi-term OR (each with its
+        own idf), excluding the source doc.  Both serving tiers of
+        :meth:`ranked` apply."""
+        terms = self.mlt_terms(doc_id, max_query_terms)
+        label = f"mlt:{doc_id}"
+        if not terms:
+            return {"query": label,
+                    "total_hits": 0 if with_total_hits else None,
+                    "results": []}
+        return self.ranked(
+            label, k, method, with_total_hits,
+            terms=terms, exclude_docs=[doc_id],
+        )
+
+    # ------------------------------------------------- significant terms
+    def significant_terms_plan(self, query: str, top_terms: int = 20,
+                               min_fg: int = 3) -> DataFrame:
+        """ES ``significant_terms`` aggregation over the query's hit
+        set: terms overrepresented in matching docs vs the corpus,
+        scored by lift = (fg_df / fg_total) / (bg_df / N); returns
+        (term, fg_df, bg_df, score_r) — top ``top_terms`` by (score
+        desc, term asc), fg_df >= ``min_fg``.
+
+        Plan shape: hit set (pruned postings scan, distinct doc_ids) ⋈
+        forward index -> explode distinct (doc, term) -> fg counts; bg
+        df from the LIVE signed dictionary sources.  Work is bounded by
+        the hit set's token mass — at web scale wrap the hit set in a
+        top-N sampler first (the ES sampler-agg idiom); the plan itself
+        has one explode + two agg shuffles and a broadcastable fg side."""
+        from .reader import live_dictionary, live_tokens
+
+        self._refresh_if_stale()
+        terms = sorted(set(self._terms(query)))
+        hits = (
+            self._pruned_postings(terms).select("doc_id").distinct()
+        )
+        toks = live_tokens(self.spark, self.index_dir, self._manifest)
+        fg_pairs = (
+            toks.join(hits, "doc_id")
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .distinct()
+        )
+        fg = fg_pairs.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("fg_df")
+        )
+        fg_total = hits.agg(F.count(F.lit(1)).cast("long").alias("fg_total"))
+        bg = live_dictionary(self.spark, self.index_dir, self._manifest)
+        n = float(self.doc_count)
+        return (
+            fg.join(bg.withColumnRenamed("df", "bg_df"), "term")
+            .crossJoin(F.broadcast(fg_total))
+            .filter(F.col("fg_df") >= min_fg)
+            .select(
+                "term",
+                "fg_df",
+                "bg_df",
+                F.round(
+                    (F.col("fg_df") / F.col("fg_total"))
+                    / (F.col("bg_df") / F.lit(n)),
+                    6,
+                ).alias("score_r"),
+            )
+            .orderBy(F.col("score_r").desc(), F.col("term"))
+            .limit(top_terms)
         )
 
     # -------------------------------------------------------- highlighting

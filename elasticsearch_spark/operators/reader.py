@@ -136,6 +136,28 @@ def live_tokens(spark: SparkSession, index_dir: str,
     return filter_tombstones(_union(parts), tombstones(manifest))
 
 
+def live_dictionary(spark: SparkSession, index_dir: str,
+                    manifest: Optional[dict] = None) -> DataFrame:
+    """Live (term, df) as a DataFrame: signed sum over the dictionary
+    sources (base + delta partials − removal partials), df > 0 — the
+    plan twin of :func:`live_df_lookup` for full-dictionary consumers
+    (significant_terms' background frequencies, analytics)."""
+    manifest = manifest or load_manifest(index_dir)
+    parts = []
+    for path, sign in dictionary_sources(index_dir, manifest):
+        parts.append(
+            spark.read.parquet(path).select(
+                "term", (F.col("df") * F.lit(sign)).alias("df")
+            )
+        )
+    merged = _union(parts)
+    return (
+        merged.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
 def live_blocks(spark: SparkSession, index_dir: str, manifest: Optional[dict] = None,
                 stats: Optional[dict] = None) -> List[Tuple[DataFrame, float]]:
     """[(blocks_df, ub_scale)] — one entry for the base blocks and one

@@ -959,6 +959,70 @@ FROM top JOIN best ON top.doc_id = best.doc_id
          JOIN t ON top.doc_id = t.doc_id"""
 
 
+@register(
+    "engine_mlt_topk",
+    f"""WITH {_TOK_CTE},
+src AS (SELECT min(doc_id) AS sd FROM documents WHERE lang = 'en'),
+srctf AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+          WHERE doc_id = (SELECT sd FROM src) GROUP BY term),
+dfall AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+mlt AS (SELECT s.term FROM srctf s JOIN dfall d ON s.term = d.term, corpus
+        WHERE ln((corpus.n + 1)::DOUBLE / (d.df + 1)::DOUBLE) <> 0
+        ORDER BY s.tf * ln((corpus.n + 1)::DOUBLE / (d.df + 1)::DOUBLE) DESC, s.term
+        LIMIT 50),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN (SELECT term FROM mlt) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0 AND tf.doc_id <> (SELECT sd FROM src)
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10""",
+)
+def engine_mlt_topk(spark, sf_dir):
+    """ES more_like_this served from the real index: the source doc's
+    (one forward-index row) terms ranked by tf·idf drive a multi-term
+    OR excluding the source doc.  Gate uses max_query_terms=50 (> the
+    fixture vocabulary) so the cap boundary cannot straddle a
+    cross-engine float tie; the 25-term selection ORDER itself is
+    pytest-checked against a python recompute."""
+    eng = _engine(spark, sf_dir)
+    src = int(_docs(spark, sf_dir).agg(F.min("doc_id")).collect()[0][0])
+    terms = eng.mlt_terms(src, max_query_terms=50)
+    plan = eng.score_plan(f"mlt:{src}", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan.filter(F.col("doc_id") != src), 10)
+
+
+@register(
+    "engine_significant_terms",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_sql_terms(Q1_TERMS)})),
+fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term),
+ft AS (SELECT count(*)::BIGINT AS fg_total FROM hits)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round((fg.fg_df::DOUBLE / ft.fg_total) / (bg.bg_df::DOUBLE / corpus.n), 6) AS score_r
+FROM fg JOIN bg ON fg.term = bg.term, ft, corpus
+WHERE fg.fg_df >= 3
+ORDER BY round((fg.fg_df::DOUBLE / ft.fg_total) / (bg.bg_df::DOUBLE / corpus.n), 6) DESC,
+         fg.term LIMIT 20""",
+)
+def engine_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation served from the real index:
+    foreground df over the hit set's forward-index rows, background df
+    from the live signed dictionary sources, lift scoring."""
+    eng = _engine(spark, sf_dir)
+    return eng.significant_terms_plan(" ".join(Q1_TERMS), top_terms=20, min_fg=3)
+
+
 @register("engine_highlight_topk", _highlight_sql(Q1_TERMS))
 def engine_highlight_topk(spark, sf_dir):
     """ES highlighting served from the live forward index: top-k docs +

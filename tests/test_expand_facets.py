@@ -224,6 +224,89 @@ def test_highlight_best_window(spark, engine):
         assert r["snippet"] == " ".join(L[best:best + window])
 
 
+def test_mlt_terms_selection(spark, engine):
+    """mlt_terms = source doc's terms by (tf·idf desc, term asc),
+    idf==0 dropped, capped — vs a python recompute from the forward
+    index and live df."""
+    from collections import Counter
+
+    from elasticsearch_spark.operators.reader import live_tokens
+
+    src = live_tokens(spark, engine.index_dir).orderBy("doc_id").first()
+    tf = Counter(src["tokens"])
+    idf = engine.term_idf(sorted(tf))
+    want = sorted(
+        ((t, c * idf[t]) for t, c in tf.items() if idf.get(t, 0.0) != 0.0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert engine.mlt_terms(src["doc_id"], max_query_terms=5) == [
+        t for t, _ in want[:5]
+    ]
+    assert engine.mlt_terms(10**9) == []  # unknown doc
+
+
+def test_more_like_this_excludes_source(spark, index_dir):
+    """MLT never returns its source doc; both tiers agree; total_hits
+    excludes the source (exclusion is part of the query)."""
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    src = int(
+        spark.read.parquet(os.path.join(index_dir, "docs")).agg(
+            F.min("doc_id")
+        ).collect()[0][0]
+    )
+    got = turbo.more_like_this(src, k=10)
+    want = plan.more_like_this(src, k=10)
+    assert got["results"], "MLT returned nothing"
+    assert src not in [r["doc_id"] for r in got["results"]]
+    assert got["total_hits"] == want["total_hits"]
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
+    # the unexcluded query DOES rank the source doc (sanity: exclusion
+    # is doing real work)
+    terms = turbo.mlt_terms(src)
+    raw = turbo.ranked("raw", k=1000, terms=terms)
+    assert src in [r["doc_id"] for r in raw["results"]]
+    assert raw["total_hits"] == got["total_hits"] + 1
+
+
+def test_significant_terms_lift(spark, engine):
+    """significant_terms = lift-scored overrepresentation vs a python
+    recompute over the forward index."""
+    from collections import Counter
+
+    from elasticsearch_spark.operators.reader import live_tokens
+
+    q = "sparkhead visit"
+    rows = engine.significant_terms_plan(q, top_terms=10, min_fg=2).collect()
+    assert rows
+    terms = set(engine._terms(q))
+    toks = {r["doc_id"]: set(r["tokens"])
+            for r in live_tokens(spark, engine.index_dir).collect()}
+    hits = {d for d, ts in toks.items() if ts & terms}
+    fg = Counter()
+    for d in hits:
+        fg.update(toks[d])
+    bg = Counter()
+    for d in toks:
+        bg.update(toks[d])
+    n = engine.doc_count
+    want = sorted(
+        (
+            (t, fg[t], bg[t],
+             round((fg[t] / len(hits)) / (bg[t] / n), 6))
+            for t in fg
+            if fg[t] >= 2
+        ),
+        key=lambda x: (-x[3], x[0]),
+    )[:10]
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score_r"]) for r in rows]
+    assert got == want
+
+
 def test_facet_counts_external_dim(spark, engine):
     """Terms facet over an external attribute table: counts must equal a
     driver-side recompute from the hit set."""
