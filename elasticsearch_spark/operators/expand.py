@@ -133,6 +133,70 @@ def prefix_terms(spark, index_dir: str, manifest: Optional[dict], prefix: str,
     return _cap(totals, max_expansions)
 
 
+def _wildcard_regex(pattern: str):
+    """Compile an ES ``wildcard`` pattern (``*`` = any sequence, ``?`` =
+    exactly one char, everything else literal) to a full-match regex."""
+    import re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("".join(parts) + r"\Z")
+
+
+def wildcard_terms(spark, index_dir: str, manifest: Optional[dict],
+                   pattern: str,
+                   max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:
+    """Indexed terms matching the ES ``wildcard`` pattern (live df > 0),
+    top ``max_expansions`` by (df desc, term asc).  The literal prefix
+    before the first wildcard prunes the dictionary scan exactly like
+    :func:`prefix_terms`; a leading-wildcard pattern scans the whole
+    dictionary (the documented ES performance caveat — ES warns the
+    same way)."""
+    if not pattern:
+        return []
+    cut = min(
+        (i for i, c in enumerate(pattern) if c in "*?"), default=len(pattern)
+    )
+    pfx = pattern[:cut]
+    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+    totals = _live_range_df(spark, index_dir, manifest, lo, hi)
+    rx = _wildcard_regex(pattern)
+    return _cap({t: df for t, df in totals.items() if rx.match(t)},
+                max_expansions)
+
+
+def suggest_terms(spark, index_dir: str, manifest: Optional[dict],
+                  term: str, size: int = 5, max_edits: int = 2,
+                  prefix_length: int = 1) -> List[Tuple[str, int, int]]:
+    """ES term-suggester candidates for ``term``: live dictionary terms
+    sharing its first ``prefix_length`` chars, within ``max_edits``
+    levenshtein, the input itself excluded — as (term, distance, df)
+    ranked (distance asc, df desc, term asc), capped at ``size`` (ES
+    orders candidates by similarity score then frequency; with the
+    no-transposition metric both engines share, distance-then-frequency
+    is that ordering made deterministic)."""
+    if not term or max_edits < 0 or size <= 0:
+        return []
+    pfx = term[: max(0, prefix_length)]
+    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+    totals = _live_range_df(spark, index_dir, manifest, lo, hi)
+    out = []
+    for t, df in totals.items():
+        if df <= 0 or t == term or abs(len(t) - len(term)) > max_edits:
+            continue
+        d = levenshtein(t, term, max_edits)
+        if d <= max_edits:
+            out.append((t, d, int(df)))
+    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return out[:size]
+
+
 def fuzzy_terms(spark, index_dir: str, manifest: Optional[dict], term: str,
                 max_edits: int = 1, prefix_length: int = 1,
                 max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:

@@ -289,6 +289,7 @@ class QueryEngine:
                       terms: Optional[List[str]] = None,
                       search_after: Optional[Tuple[float, int]] = None,
                       exclude_docs: Optional[Sequence[int]] = None,
+                      filter_docs=None,
                       ) -> Optional[dict]:
         """Serve a ranked query entirely on the driver when the candidate
         slice is small (Σ live df ≤ TURBO_MAX_POSTINGS): pyarrow pruned
@@ -301,6 +302,10 @@ class QueryEngine:
         expansion queries (prefix/fuzzy), whose dictionary terms are
         already analyzed."""
         if not self.turbo:
+            return None
+        if isinstance(filter_docs, DataFrame):
+            # plan-valued filter clause (attribute predicate): the
+            # allowlist lives in the cluster — distributed plan only
             return None
         import numpy as np
 
@@ -352,6 +357,11 @@ class QueryEngine:
         s = weights[codes] * impact
         docs_u, inv = np.unique(doc, return_inverse=True)
         scores = np.bincount(inv, weights=s)
+        if filter_docs is not None:
+            allow = np.asarray(sorted({int(d) for d in filter_docs}),
+                               dtype=np.int64)
+            keep = np.isin(docs_u, allow)
+            docs_u, scores = docs_u[keep], scores[keep]
         if exclude_docs:
             keep = ~np.isin(docs_u, np.asarray(sorted(exclude_docs), dtype=np.int64))
             docs_u, scores = docs_u[keep], scores[keep]
@@ -475,7 +485,8 @@ class QueryEngine:
                with_total_hits: bool = True,
                terms: Optional[List[str]] = None,
                search_after: Optional[Tuple[float, int]] = None,
-               exclude_docs: Optional[Sequence[int]] = None) -> dict:
+               exclude_docs: Optional[Sequence[int]] = None,
+               filter_docs=None) -> dict:
         """Reference result shape ``{query, total_hits, results:[{doc_id,
         score}]}`` with the deterministic (score desc, doc_id asc)
         tie-break.
@@ -491,6 +502,7 @@ class QueryEngine:
         res = self._turbo_ranked(
             query, k, method, with_total_hits, terms=terms,
             search_after=search_after, exclude_docs=exclude_docs,
+            filter_docs=filter_docs,
         )
         if res is not None:
             return res
@@ -498,6 +510,7 @@ class QueryEngine:
             plan = self.score_plan(query, method, terms=terms)
             if plan is None:
                 return {"query": query, "total_hits": None, "results": []}
+            plan = self._apply_filter(plan, filter_docs)
             plan = self._apply_exclude(plan, exclude_docs)
             plan = self._apply_search_after(plan, search_after)
             with self._interactive():
@@ -525,7 +538,9 @@ class QueryEngine:
         # search_after filter, and every child row still flows through
         # it on the way to the cursor filter
         obs_plan = self._apply_search_after(
-            self._apply_exclude(plan, exclude_docs)
+            self._apply_exclude(
+                self._apply_filter(plan, filter_docs), exclude_docs
+            )
             .observe(obs, F.count(F.lit(1)).alias("n")),
             search_after,
         )
@@ -542,6 +557,25 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": r["doc_id"], "score": r["score"]} for r in top],
         }
+
+    @staticmethod
+    def _apply_filter(plan: DataFrame, filter_docs) -> DataFrame:
+        """ES bool-query ``filter`` clause: restrict hits to an
+        allowlist without touching scores (non-scoring context —
+        total_hits counts the FILTERED set).  Accepts a driver-side
+        id sequence (both tiers) or a DataFrame with a ``doc_id``
+        column (distributed plan only): the attribute predicate runs as
+        a semi-join, broadcast by Catalyst/AQE when the filter side is
+        small — attributes never leave their own table."""
+        if filter_docs is None:
+            return plan
+        if isinstance(filter_docs, DataFrame):
+            return plan.join(
+                filter_docs.select("doc_id").distinct(), "doc_id", "semi"
+            )
+        return plan.filter(
+            F.col("doc_id").isin([int(d) for d in filter_docs])
+        )
 
     @staticmethod
     def _apply_exclude(plan: DataFrame,
@@ -1204,6 +1238,71 @@ class QueryEngine:
                     "total_hits": 0 if with_total_hits else None,
                     "results": []}
         return self.ranked(label, k, method, with_total_hits, terms=terms)
+
+    def wildcard_expand(self, pattern: str,
+                        max_expansions: int = 50) -> List[str]:
+        """Indexed terms matching the ES ``wildcard`` pattern (``*`` any
+        sequence, ``?`` one char) — live df > 0, (df desc, term asc),
+        capped.  The literal prefix before the first wildcard prunes
+        the dictionary scan; term-level, NOT analyzed (ES behavior)."""
+        from . import expand as X
+
+        self._refresh_if_stale()
+        return X.wildcard_terms(
+            self.spark, self.index_dir, self._manifest, pattern, max_expansions
+        )
+
+    def wildcard_ranked(self, pattern: str, k: int = 10,
+                        method: str = "bm25", max_expansions: int = 50,
+                        with_total_hits: bool = True) -> dict:
+        """ES ``wildcard`` query, scoring_boolean rewrite (see
+        :meth:`prefix_ranked`)."""
+        terms = self.wildcard_expand(pattern, max_expansions)
+        if not terms:
+            return {"query": pattern,
+                    "total_hits": 0 if with_total_hits else None,
+                    "results": []}
+        return self.ranked(pattern, k, method, with_total_hits, terms=terms)
+
+    # ------------------------------------------------------ term suggester
+    def suggest(self, text: str, size: int = 5, max_edits: int = 2,
+                prefix_length: int = 1,
+                mode: str = "missing") -> Dict[str, List[dict]]:
+        """ES term suggester ("did you mean"): for each analyzed token
+        of ``text``, live dictionary terms sharing its first
+        ``prefix_length`` chars within ``max_edits`` levenshtein, ranked
+        (distance asc, df desc, term asc), capped at ``size``.
+
+        ``mode='missing'`` (the ES default) suggests only for tokens
+        NOT in the live index; ``'always'`` suggests for every token.
+        Each suggestion is ``{text, distance, freq}`` — freq is the
+        live df, the reference surface a UI ranks corrections by."""
+        from . import expand as X
+        from .reader import live_df_lookup
+
+        self._refresh_if_stale()
+        tokens = self._terms(text)
+        out: Dict[str, List[dict]] = {}
+        seen = set()
+        dfs = live_df_lookup(
+            self.spark, self.index_dir, sorted(set(tokens)),
+            self.n_buckets, self._manifest,
+        ) if mode == "missing" else {}
+        for tok in tokens:
+            if tok in seen:
+                continue
+            seen.add(tok)
+            if mode == "missing" and dfs.get(tok, 0) > 0:
+                out[tok] = []
+                continue
+            out[tok] = [
+                {"text": t, "distance": d, "freq": df}
+                for t, d, df in X.suggest_terms(
+                    self.spark, self.index_dir, self._manifest, tok,
+                    size, max_edits, prefix_length,
+                )
+            ]
+        return out
 
     # ----------------------------------------------- facets (aggregations)
     def match_plan(self, terms: Sequence[str]) -> DataFrame:

@@ -844,6 +844,94 @@ def engine_fuzzy_topk(spark, sf_dir):
     return _topk(plan, 10)
 
 
+@register("engine_wildcard_topk", _expansion_bm25_sql("term LIKE 's_a%'"))
+def engine_wildcard_topk(spark, sf_dir):
+    """ES ``wildcard`` query served from the real index: the pattern
+    ``s?a*`` (-> scan/small/spark) expands against the live dictionary
+    — literal-prefix range scan + regex full-match — then the
+    distributed multi-term scoring plan.  The oracle states the same
+    pattern as SQL LIKE (`*`->`%`, `?`->`_`)."""
+    eng = _engine(spark, sf_dir)
+    terms = eng.wildcard_expand("s?a*")
+    plan = eng.score_plan("s?a*", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_suggest_term",
+    f"""WITH {_TOK_CTE},
+dfall AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term AS suggestion,
+       levenshtein(term, 'slaw')::BIGINT AS distance,
+       df AS freq
+FROM dfall
+WHERE substr(term, 1, 1) = 's' AND levenshtein(term, 'slaw') <= 2
+      AND term <> 'slaw'
+ORDER BY distance, df DESC, term LIMIT 5""",
+)
+def engine_suggest_term(spark, sf_dir):
+    """ES term suggester ("did you mean") served from the live
+    dictionary: candidates for the misspelling 'slaw' within 2 edits
+    sharing its first char (-> slow d=1, scan d=2), ranked (distance
+    asc, live-df desc, term asc).  DuckDB's ``levenshtein`` (same
+    no-transposition metric as the engine's python twin) is the
+    oracle."""
+    eng = _engine(spark, sf_dir)
+    sug = eng.suggest("slaw", size=5, max_edits=2, prefix_length=1)
+    rows = [
+        (s["text"], s["distance"], s["freq"])
+        for s in sug.get("slaw", [])
+    ]
+    return spark.createDataFrame(
+        rows, "suggestion string, distance long, freq long"
+    )
+
+
+@register(
+    "engine_filtered_bm25",
+    f"""WITH {_TOK_CTE},
+allow AS (SELECT doc_id FROM documents
+          WHERE lang = 'en' AND source IN ('src4', 'src6', 'src7')),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+                 AND tf.doc_id IN (SELECT doc_id FROM allow)
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10""",
+)
+def engine_filtered_bm25(spark, sf_dir):
+    """ES bool-query ``filter`` clause (non-scoring context): BM25
+    ranking restricted to docs whose ``source`` attribute matches,
+    served as a semi-join of the scoring plan against the attribute
+    table (the data-lake pattern — attributes stay in their parquet
+    table, Catalyst/AQE broadcasts the small side).  idf/df are
+    UNCHANGED by the filter (ES semantics: filter context does not
+    affect scoring), which the oracle mirrors by filtering only the
+    scored-doc set."""
+    from ..operators.query import QueryEngine
+
+    eng = _engine(spark, sf_dir)
+    allow = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isin("src4", "src6", "src7"))
+        .select("doc_id")
+    )
+    plan = eng.score_plan(" ".join(Q1_TERMS))
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(QueryEngine._apply_filter(plan, allow), 10)
+
+
 @register(
     "facet_doc_len_hist",
     f"""WITH {_TOK_CTE},

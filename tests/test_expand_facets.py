@@ -307,6 +307,131 @@ def test_significant_terms_lift(spark, engine):
     assert got == want
 
 
+def test_wildcard_expand_vs_recompute(spark, engine):
+    """Wildcard expansion = regex-translated pattern over the live
+    dictionary, (df desc, term asc), capped — vs a python recompute."""
+    import fnmatch
+
+    dict_rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    df_map = {}
+    for r in dict_rows:
+        df_map[r["term"]] = df_map.get(r["term"], 0) + r["df"]
+    for pat in ["s?a*", "*ow", "v*", "?a??", "table", "z*"]:
+        want = sorted(
+            ((t, d) for t, d in df_map.items()
+             if d > 0 and fnmatch.fnmatchcase(t, pat)),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = engine.wildcard_expand(pat, max_expansions=3)
+        assert got == [t for t, _ in want[:3]], pat
+    assert engine.wildcard_expand("") == []
+
+
+def test_wildcard_ranked_tier_identity(spark, index_dir):
+    """wildcard_ranked: turbo ≡ distributed plan, and ≡ the equivalent
+    explicit multi-term OR."""
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    got = turbo.wildcard_ranked("s?a*", k=10)
+    want = plan.wildcard_ranked("s?a*", k=10)
+    assert got["results"], "wildcard matched nothing"
+    assert got["total_hits"] == want["total_hits"]
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9
+    explicit = turbo.ranked("x", k=10, terms=turbo.wildcard_expand("s?a*"))
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in explicit["results"]
+    ]
+
+
+def test_suggest_ordering_and_modes(spark, engine):
+    """suggest: (distance asc, df desc, term asc) vs a python recompute;
+    'missing' mode stays silent for indexed terms; 'always' suggests."""
+    from elasticsearch_spark.operators.expand import levenshtein as lev
+
+    dict_rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    df_map = {}
+    for r in dict_rows:
+        df_map[r["term"]] = df_map.get(r["term"], 0) + r["df"]
+    sug = engine.suggest("slaw", size=5, max_edits=2, prefix_length=1)
+    assert set(sug) == {"slaw"}
+    want = sorted(
+        ((t, lev(t, "slaw", 2), d) for t, d in df_map.items()
+         if d > 0 and t != "slaw" and t.startswith("s")
+         and lev(t, "slaw", 2) <= 2),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:5]
+    got = [(s["text"], s["distance"], s["freq"]) for s in sug["slaw"]]
+    assert got == want and got, "no suggestions for the misspelling"
+    # an indexed term gets no suggestions in missing mode (keys are the
+    # ANALYZED tokens; pick a live term that re-analyzes to itself)...
+    key = next(
+        t for t, d in sorted(df_map.items(), key=lambda x: -x[1])
+        if d > 0 and engine._terms(t) == [t]
+    )
+    assert engine.suggest(key) == {key: []}
+    # ...but in always mode returns its neighbors (itself excluded),
+    # matching the same recompute
+    alw = engine.suggest(key, mode="always")[key]
+    want_alw = sorted(
+        ((t, lev(t, key, 2), d) for t, d in df_map.items()
+         if d > 0 and t != key and t.startswith(key[:1])
+         and lev(t, key, 2) <= 2),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:5]
+    assert [(s["text"], s["distance"], s["freq"]) for s in alw] == want_alw
+
+
+def test_filter_docs_tier_identity_and_semantics(spark, index_dir):
+    """ES filter context: scores unchanged, hit set restricted,
+    total_hits counts the filtered set; driver-list tier ≡ semi-join
+    plan tier; empty allowlist means zero hits (not 'no filter')."""
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    q = "spark join"
+    base = turbo.ranked(q, k=1000)
+    assert base["total_hits"] > 4
+    all_ids = [r["doc_id"] for r in base["results"]]
+    allow = sorted(all_ids)[::2]  # every other matching doc
+    got = turbo.ranked(q, k=1000, filter_docs=allow)
+    assert got["total_hits"] == len(allow)
+    assert set(r["doc_id"] for r in got["results"]) == set(allow)
+    # scores are untouched by the filter (non-scoring context)
+    base_scores = {r["doc_id"]: r["score"] for r in base["results"]}
+    for r in got["results"]:
+        assert abs(r["score"] - base_scores[r["doc_id"]]) < 1e-12
+    # plan tier with a driver list matches
+    want = plan.ranked(q, k=1000, filter_docs=allow)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ]
+    assert want["total_hits"] == got["total_hits"]
+    # DataFrame allowlist routes to the plan tier on BOTH engines and
+    # matches the list result
+    allow_df = spark.range(0).selectExpr("id as doc_id").unionByName(
+        spark.createDataFrame([(int(d),) for d in allow], "doc_id long")
+    )
+    got_df = turbo.ranked(q, k=1000, filter_docs=allow_df)
+    assert [r["doc_id"] for r in got_df["results"]] == [
+        r["doc_id"] for r in got["results"]
+    ]
+    assert got_df["total_hits"] == got["total_hits"]
+    # empty allowlist = zero hits
+    empty = turbo.ranked(q, k=10, filter_docs=[])
+    assert empty["total_hits"] == 0 and empty["results"] == []
+
+
 def test_facet_counts_external_dim(spark, engine):
     """Terms facet over an external attribute table: counts must equal a
     driver-side recompute from the hit set."""
