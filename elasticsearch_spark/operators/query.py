@@ -254,9 +254,14 @@ class QueryEngine:
         on ``bucket=`` plus a ``term IN`` predicate against row-group
         stats (postings are (term, doc_id)-sorted per bucket, so the
         min/max stats prune tightly).  Returns numpy arrays
-        (term, doc_id, tf, doc_len), tombstone-filtered."""
+        (term, doc_id, tf, doc_len), tombstone-filtered.
+
+        Streams pyarrow record batches instead of materializing the
+        full Arrow slice table: each batch is converted to numpy and
+        tombstone-filtered immediately, so peak driver memory near the
+        turbo cutover is the numpy output plus ONE record batch, not
+        the whole Arrow table AND its numpy copy."""
         import numpy as np
-        import pyarrow as pa
         import pyarrow.dataset as pads
 
         from .reader import delta_segments
@@ -267,22 +272,44 @@ class QueryEngine:
             for s in delta_segments(self._manifest)
         ]
         cols = ["term", "doc_id", "tf", "doc_len"]
-        parts = []
+        tomb = (
+            np.asarray(self._tombstones, dtype=np.int64)
+            if self._tombstones
+            else None
+        )
+        parts_t, parts_d, parts_tf, parts_dl = [], [], [], []
         for p in paths:
             ds = pads.dataset(p, partitioning="hive")
             expr = pads.field("bucket").isin(buckets) & pads.field("term").isin(
                 list(terms)
             )
-            parts.append(ds.to_table(columns=cols, filter=expr))
-        tbl = pa.concat_tables(parts)
-        term_a = np.asarray(tbl.column("term").to_pylist(), dtype=object)
-        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-        dl = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
-        if self._tombstones:
-            keep = ~np.isin(doc, np.asarray(self._tombstones, dtype=np.int64))
-            term_a, doc, tf, dl = term_a[keep], doc[keep], tf[keep], dl[keep]
-        return term_a, doc, tf, dl
+            for batch in ds.to_batches(columns=cols, filter=expr):
+                if batch.num_rows == 0:
+                    continue
+                t_a = np.asarray(batch.column(0).to_pylist(), dtype=object)
+                d_a = batch.column(1).to_numpy(zero_copy_only=False)
+                d_a = d_a.astype(np.int64)
+                tf_a = batch.column(2).to_numpy(zero_copy_only=False)
+                tf_a = tf_a.astype(np.int64)
+                dl_a = batch.column(3).to_numpy(zero_copy_only=False)
+                dl_a = dl_a.astype(np.int64)
+                if tomb is not None:
+                    keep = ~np.isin(d_a, tomb)
+                    t_a, d_a = t_a[keep], d_a[keep]
+                    tf_a, dl_a = tf_a[keep], dl_a[keep]
+                parts_t.append(t_a)
+                parts_d.append(d_a)
+                parts_tf.append(tf_a)
+                parts_dl.append(dl_a)
+        if not parts_t:
+            empty = np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=object), empty, empty, empty
+        return (
+            np.concatenate(parts_t),
+            np.concatenate(parts_d),
+            np.concatenate(parts_tf),
+            np.concatenate(parts_dl),
+        )
 
     def _turbo_ranked(self, query: str, k: int, method: str,
                       want_total: bool,

@@ -399,7 +399,25 @@ def test_filter_docs_tier_identity_and_semantics(spark, index_dir):
     plan tier; empty allowlist means zero hits (not 'no filter')."""
     turbo = QueryEngine(spark, index_dir, turbo=True)
     plan = QueryEngine(spark, index_dir, turbo=False)
-    q = "spark join"
+    # two live mid-frequency terms that re-analyze to themselves (the
+    # synthetic webtext vocabulary is pseudo-words; hardcoded English
+    # words would never match — and a term in EVERY doc has idf 0 under
+    # log((N+1)/(df+1)) and scores no hits, so stay strictly below N)
+    rows = (
+        spark.read.parquet(os.path.join(turbo.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    n_docs = turbo.stats["doc_count"]
+    df_map = {}
+    for r in rows:
+        df_map[r["term"]] = df_map.get(r["term"], 0) + r["df"]
+    picks = [
+        t for t, d in sorted(df_map.items(), key=lambda x: (-x[1], x[0]))
+        if 4 < d < n_docs and turbo._terms(t) == [t]
+    ][:2]
+    assert len(picks) == 2
+    q = " ".join(picks)
     base = turbo.ranked(q, k=1000)
     assert base["total_hits"] > 4
     all_ids = [r["doc_id"] for r in base["results"]]
