@@ -1271,7 +1271,30 @@ class IndexBuilder:
             json.dump(commit, f, indent=2)
         os.replace(tmp, self._path("compact_commit.json"))
         _apply_compaction_commit(self.index_dir, commit)
+        # the deletion-neighborhood sidecar (fuzzy_sidecar.py) covers
+        # the BASE dictionary, which this compaction just swapped:
+        # rebuild it if one was materialized.  Pure accelerator — a
+        # crash here leaves a stale meta and fuzzy expansion falls back
+        # to the range scan, never wrong results.
+        from . import fuzzy_sidecar as _fs
+
+        old_meta_p = _fs._meta_path(self.index_dir)
+        if os.path.exists(old_meta_p):
+            try:
+                with open(old_meta_p) as f:
+                    prev_edits = int(json.load(f).get("max_edits", 2))
+            except Exception:
+                prev_edits = 2
+            _fs.build_fuzzy_sidecar(self.spark, self.index_dir, prev_edits)
         return manifest
+
+    def build_fuzzy_sidecar(self, max_edits: int = 2) -> dict:
+        """Materialize the deletion-neighborhood fuzzy sidecar over the
+        base dictionary (see :mod:`fuzzy_sidecar`); once present it is
+        kept fresh by :meth:`compact`."""
+        from .fuzzy_sidecar import build_fuzzy_sidecar
+
+        return build_fuzzy_sidecar(self.spark, self.index_dir, max_edits)
 
     # --------------------------------------------------------- accounting
     def compression_stats(self) -> dict:

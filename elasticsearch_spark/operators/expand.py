@@ -113,6 +113,60 @@ def _live_range_df(spark, index_dir: str, manifest: Optional[dict],
     return totals
 
 
+def _neighborhood_totals(spark, index_dir: str, manifest: Optional[dict],
+                         term: str, max_edits: int, pfx: str
+                         ) -> Optional[Dict[str, int]]:
+    """Sidecar-served fuzzy candidates: term -> LIVE df for every
+    indexed term within ``max_edits`` levenshtein of ``term`` whose
+    prefix is ``pfx`` — or None when no (current) deletion-neighborhood
+    sidecar exists and the caller must range-scan.
+
+    Candidates = symmetric-delete matches from the BASE sidecar
+    (:mod:`fuzzy_sidecar`) ∪ terms from the delta-segment dictionary
+    partials (O(delta) scans — the sidecar only covers the base, and
+    compaction rebuilds it).  Verification (true levenshtein + prefix)
+    and the signed live-df lookup make the result identical to the
+    full range scan."""
+    from . import fuzzy_sidecar as FS
+
+    cand = FS.base_candidates(index_dir, term, max_edits)
+    if cand is None:
+        return None
+    # delta-segment dictionary partials are not in the sidecar: scan
+    # just those (removal partials only subtract df — their terms
+    # already exist in base or delta, so they add no candidates)
+    from .reader import dictionary_sources, live_df_lookup, load_stats
+
+    base = os.path.normpath(os.path.join(index_dir, "dictionary"))
+    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+    for path, sign in dictionary_sources(index_dir, manifest):
+        if sign <= 0 or os.path.normpath(path) == base:
+            continue
+        found = _range_scan_source(path, lo, hi)
+        if found is None:  # pyarrow failed for this source: Spark fallback
+            from pyspark.sql import functions as F
+
+            rows = (
+                spark.read.parquet(path)
+                .filter((F.col("term") >= lo) & (F.col("term") < hi))
+                .select("term")
+                .collect()
+            )
+            found = {r["term"]: 1 for r in rows}
+        cand |= set(found)
+    matched = [
+        t
+        for t in cand
+        if t.startswith(pfx)
+        and abs(len(t) - len(term)) <= max_edits
+        and levenshtein(t, term, max_edits) <= max_edits
+    ]
+    if not matched:
+        return {}
+    n_buckets = int(load_stats(index_dir)["config"]["n_buckets"])
+    return live_df_lookup(spark, index_dir, sorted(matched), n_buckets, manifest)
+
+
 def _cap(matches: Dict[str, int], max_expansions: int) -> List[str]:
     """ES top_terms ordering: live df desc, term asc, capped."""
     live = [(t, df) for t, df in matches.items() if df > 0]
@@ -184,8 +238,11 @@ def suggest_terms(spark, index_dir: str, manifest: Optional[dict],
     if not term or max_edits < 0 or size <= 0:
         return []
     pfx = term[: max(0, prefix_length)]
-    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
-    totals = _live_range_df(spark, index_dir, manifest, lo, hi)
+    totals = _neighborhood_totals(spark, index_dir, manifest, term,
+                                  max_edits, pfx)
+    if totals is None:
+        lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+        totals = _live_range_df(spark, index_dir, manifest, lo, hi)
     out = []
     for t, df in totals.items():
         if df <= 0 or t == term or abs(len(t) - len(term)) > max_edits:
@@ -202,8 +259,13 @@ def fuzzy_terms(spark, index_dir: str, manifest: Optional[dict], term: str,
                 max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:
     """Indexed terms within ``max_edits`` levenshtein of ``term`` that
     share its first ``prefix_length`` chars (ES fuzzy semantics), top
-    ``max_expansions`` by (df desc, term asc).  ``prefix_length=0``
-    scans the whole dictionary (documented ES performance caveat)."""
+    ``max_expansions`` by (df desc, term asc).
+
+    ``prefix_length=0`` is served from the deletion-neighborhood
+    sidecar when one exists (:mod:`fuzzy_sidecar` — a point read of the
+    query's own neighborhood, the Lucene-automaton analogue); without a
+    sidecar it scans the whole dictionary (documented ES performance
+    caveat — ES warns the same way)."""
     if not term or max_edits < 0:
         return []
     pfx = term[: max(0, prefix_length)]
@@ -211,6 +273,10 @@ def fuzzy_terms(spark, index_dir: str, manifest: Optional[dict], term: str,
         # query shorter than the required shared prefix: candidates must
         # still share ALL of the query's chars as their prefix
         pfx = term
+    totals = _neighborhood_totals(spark, index_dir, manifest, term,
+                                  max_edits, pfx)
+    if totals is not None:
+        return _cap(totals, max_expansions)
     lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
     totals = _live_range_df(spark, index_dir, manifest, lo, hi)
     matched = {

@@ -844,6 +844,34 @@ def engine_fuzzy_topk(spark, sf_dir):
     return _topk(plan, 10)
 
 
+@register(
+    "engine_fuzzy_sidecar_topk",
+    _expansion_bm25_sql("levenshtein(term, 'smal') <= 2"),
+)
+def engine_fuzzy_sidecar_topk(spark, sf_dir):
+    """ES ``fuzzy`` at ``prefix_length=0`` served from the
+    deletion-neighborhood sidecar (operators/fuzzy_sidecar.py — the
+    symmetric-delete / Lucene-automaton analogue): without a shared
+    prefix the range scan would read the WHOLE dictionary, the sidecar
+    point-reads only the query's own deletion neighborhood.  Oracle is
+    the unconstrained levenshtein predicate over the full vocabulary,
+    so the hash-compare proves neighborhood ∪ verification ≡ full
+    scan."""
+    from elasticsearch_spark.operators.fuzzy_sidecar import (
+        build_fuzzy_sidecar,
+        load_meta,
+    )
+
+    eng = _engine(spark, sf_dir)
+    if load_meta(eng.index_dir) is None:
+        build_fuzzy_sidecar(spark, eng.index_dir, max_edits=2)
+    terms = eng.fuzzy_expand("smal", max_edits=2, prefix_length=0)
+    plan = eng.score_plan("smal~2", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
 @register("engine_wildcard_topk", _expansion_bm25_sql("term LIKE 's_a%'"))
 def engine_wildcard_topk(spark, sf_dir):
     """ES ``wildcard`` query served from the real index: the pattern
