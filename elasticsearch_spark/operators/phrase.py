@@ -55,8 +55,23 @@ def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
     cross-range state exists.  Identity to the join plan is
     pytest-enforced; the ``phrase_*`` driver gates hash-check this
     kernel against DuckDB."""
-    terms = list(terms)
-    uniq = sorted(set(terms))
+    return phrase_slots_kernel(
+        blocks, [[t] for t in terms], codec_name, tombstones
+    )
+
+
+def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
+                        codec_name: str = "vbyte",
+                        tombstones: Optional[Sequence[int]] = None) -> DataFrame:
+    """Generalized phrase kernel: each phrase position (``slot``) is a
+    SET of alternative terms — the shape behind ES ``match_phrase_prefix``
+    (last slot = the prefix's dictionary expansions) and synonym-aware
+    phrases.  A slot's positions within a doc are the union of its
+    alternatives' positions; since one token occupies each position,
+    alternatives are disjoint per (doc, position) and occurrence counts
+    stay exact.  Singleton slots reduce to the plain phrase kernel."""
+    slots = [list(s) for s in slots]
+    uniq = sorted({t for s in slots for t in s})
     tomb_set = frozenset(int(t) for t in tombstones) if tombstones else frozenset()
 
     def kernel(pdf):
@@ -68,6 +83,8 @@ def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
         cols = ["doc_id", "n_occurrences", "start_positions"]
         per_term: dict = {}
         for row in pdf.itertuples(index=False):
+            if row.term not in uniq:
+                continue
             d, tf, _l = C.decode_block(
                 row.doc_blob, row.tf_blob, row.len_blob, codec_name
             )
@@ -79,18 +96,31 @@ def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
             for doc, pos in zip(d.tolist(), splits):
                 if doc not in tomb_set:
                     slot[doc] = pos
-        if any(t not in per_term for t in uniq):
-            return pd.DataFrame(columns=cols).astype(
-                {"doc_id": "int64", "n_occurrences": "int64"}
-            )
-        cand = set(per_term[terms[0]])
-        for t in terms[1:]:
-            cand &= per_term[t].keys()
+        empty = pd.DataFrame(columns=cols).astype(
+            {"doc_id": "int64", "n_occurrences": "int64"}
+        )
+        slot_maps = []
+        for alts in slots:
+            present = [t for t in alts if t in per_term]
+            if not present:
+                return empty
+            if len(present) == 1:
+                slot_maps.append(per_term[present[0]])
+            else:
+                m: dict = {}
+                for t in present:
+                    for doc, pos in per_term[t].items():
+                        prev = m.get(doc)
+                        m[doc] = pos if prev is None else np.union1d(prev, pos)
+                slot_maps.append(m)
+        cand = set(slot_maps[0])
+        for m in slot_maps[1:]:
+            cand &= m.keys()
         out = []
         for doc in sorted(cand):
-            p = per_term[terms[0]][doc]
-            for i, t in enumerate(terms[1:], start=1):
-                p = np.intersect1d(p, per_term[t][doc] - i)
+            p = slot_maps[0][doc]
+            for i, m in enumerate(slot_maps[1:], start=1):
+                p = np.intersect1d(p, m[doc] - i)
                 if p.size == 0:
                     break
             if p.size:
@@ -114,6 +144,52 @@ def phrase_match(
     df = postings_for(terms[0]).select("doc_id", F.col("positions").alias("p"))
     for i, t in enumerate(terms[1:], start=1):
         nxt = postings_for(t).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias("p_next"),
+        )
+        df = (
+            df.join(nxt, "doc_id")
+            .withColumn("p", F.array_intersect("p", "p_next"))
+            .filter(F.size("p") > 0)
+            .drop("p_next")
+        )
+    return df.select(
+        "doc_id",
+        F.size("p").cast("long").alias("n_occurrences"),
+        F.sort_array("p").alias("start_positions"),
+    )
+
+
+def phrase_match_slots(
+    postings_for: Callable[[str], DataFrame],
+    slots: Sequence[Sequence[str]],
+) -> DataFrame:
+    """Join-cascade twin of :func:`phrase_slots_kernel` (semantics
+    oracle; also the fallback for pre-position-codec indexes).  A
+    slot's positions are the per-doc union of its alternatives'
+    positions (flatten + distinct — disjoint anyway, one token per
+    position), then the same shifted ``array_intersect`` fold as
+    :func:`phrase_match`."""
+    slots = [list(s) for s in slots]
+    if not slots or any(not s for s in slots):
+        raise ValueError("phrase_match_slots needs non-empty slots")
+
+    def slot_df(alts: Sequence[str]) -> DataFrame:
+        parts = [postings_for(t).select("doc_id", "positions") for t in alts]
+        if len(parts) == 1:
+            return parts[0]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("doc_id").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+
+    df = slot_df(slots[0]).select("doc_id", F.col("positions").alias("p"))
+    for i, alts in enumerate(slots[1:], start=1):
+        nxt = slot_df(alts).select(
             "doc_id",
             F.transform("positions", lambda x: x - i).alias("p_next"),
         )

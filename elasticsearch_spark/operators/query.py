@@ -813,19 +813,26 @@ class QueryEngine:
             F.array().cast("array<int>").alias("start_positions"),
         ).limit(0)
 
-    def _turbo_phrase(self, terms: List[str], k: int) -> Optional[dict]:
+    def _turbo_phrase(self, slots: List[List[str]], k: int) -> Optional[dict]:
         """Driver-side phrase evaluation for small slices: pyarrow
-        pruned read of the terms' block runs, decode doc/tf/position
+        pruned read of the slots' block runs, decode doc/tf/position
         streams in numpy, shifted-position intersection per candidate
-        doc (identical adjacency semantics to operators/phrase.py)."""
+        doc (identical adjacency semantics to operators/phrase.py).
+        Each slot is a set of alternative terms (singletons for a plain
+        phrase; the last slot carries the expansions for
+        match_phrase_prefix) — a slot's per-doc positions are the union
+        over its live alternatives."""
         if not self.turbo:
             return None
-        self.term_idf(terms)  # populate live df cache
-        uniq = sorted(set(terms))
-        dfs = [self._df_cache.get(t, 0) for t in uniq]
-        if any(d == 0 for d in dfs):
+        all_terms = sorted({t for s in slots for t in s})
+        self.term_idf(all_terms)  # populate live df cache
+        live_slots = [
+            [t for t in s if self._df_cache.get(t, 0) > 0] for s in slots
+        ]
+        if any(not s for s in live_slots):
             return {"query": None, "total_hits": 0, "results": []}
-        if sum(dfs) > self.TURBO_MAX_POSTINGS:
+        uniq = sorted({t for s in live_slots for t in s})
+        if sum(self._df_cache.get(t, 0) for t in uniq) > self.TURBO_MAX_POSTINGS:
             return None
         try:
             import numpy as np
@@ -868,14 +875,25 @@ class QueryEngine:
         except Exception:
             return None
 
-        cand = set(per_term[terms[0]])
-        for t in terms[1:]:
-            cand &= set(per_term[t])
+        slot_maps = []
+        for alts in live_slots:
+            if len(alts) == 1:
+                slot_maps.append(per_term.get(alts[0], {}))
+            else:
+                m: Dict[int, "np.ndarray"] = {}
+                for t in alts:
+                    for doc, pos in per_term.get(t, {}).items():
+                        prev = m.get(doc)
+                        m[doc] = pos if prev is None else np.union1d(prev, pos)
+                slot_maps.append(m)
+        cand = set(slot_maps[0])
+        for m in slot_maps[1:]:
+            cand &= m.keys()
         results = []
         for doc in cand:
-            p = per_term[terms[0]][doc]
-            for i, t in enumerate(terms[1:], start=1):
-                p = np.intersect1d(p, per_term[t][doc] - i)
+            p = slot_maps[0][doc]
+            for i, m in enumerate(slot_maps[1:], start=1):
+                p = np.intersect1d(p, m[doc] - i)
                 if p.size == 0:
                     break
             if p.size:
@@ -898,7 +916,7 @@ class QueryEngine:
         if self.stats["config"].get("positional"):
             terms = self._terms(phrase)
             if terms:
-                res = self._turbo_phrase(terms, k)
+                res = self._turbo_phrase([[t] for t in terms], k)
                 if res is not None:
                     res["query"] = phrase
                     return res
@@ -919,6 +937,88 @@ class QueryEngine:
             "total_hits": total,
             "results": [
                 {"doc_id": r["doc_id"], "score": float(r["n_occurrences"])} for r in top
+            ],
+        }
+
+    def _mpp_slots(self, phrase: str,
+                   max_expansions: int) -> Optional[List[List[str]]]:
+        """Slots for ES ``match_phrase_prefix``: analyzed phrase terms
+        as singleton slots, the LAST analyzed token replaced by its
+        live-dictionary prefix expansions (ES expands the last token in
+        index-term order, capped at ``max_expansions``; an indexed term
+        equal to the prefix is included — startswith covers equality).
+        None when the phrase analyzes to nothing or the prefix expands
+        to nothing (zero hits)."""
+        terms = self._phrase_terms_checked(phrase)
+        if not terms:
+            return None
+        exp = self.prefix_expand(terms[-1], max_expansions)
+        if not exp:
+            return None
+        return [[t] for t in terms[:-1]] + [sorted(exp)]
+
+    def match_phrase_prefix_plan(self, phrase: str,
+                                 max_expansions: int = 50) -> DataFrame:
+        """ES ``match_phrase_prefix`` plan ``(doc_id, n_occurrences,
+        start_positions)``: the phrase must match with the last
+        position holding ANY expansion of the last token's prefix.
+        Served by the slots kernel (one bounded shuffle of all slot
+        terms' block runs — the k−1-join cascade would pay the shared
+        prefix terms once PER expansion); join-cascade fallback for
+        pre-position-codec indexes."""
+        self._refresh_if_stale()
+        slots = self._mpp_slots(phrase, max_expansions)
+        if slots is None:
+            return self._empty_phrase_plan()
+        blocks = self._blocks()
+        all_terms = sorted({t for s in slots for t in s})
+        if blocks is None:
+            from .phrase import phrase_match_slots
+
+            return phrase_match_slots(self._positional_term_postings, slots)
+        from .phrase import phrase_slots_kernel
+
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        pruned = blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        ).select("term", "range_id", "doc_blob", "tf_blob", "len_blob", "pos_blob")
+        return phrase_slots_kernel(
+            pruned, slots, self.stats["config"].get("codec", "vbyte"),
+            self._tombstones,
+        )
+
+    def match_phrase_prefix(self, phrase: str, k: int = 10,
+                            max_expansions: int = 50) -> dict:
+        """ES ``match_phrase_prefix`` in the reference result shape,
+        ranked by occurrence count then doc_id (phrase ops are
+        set-valued, like :meth:`phrase`).  Small slices are served by
+        the driver-side turbo kernel; the count rides the top-k job via
+        Observation otherwise."""
+        self._refresh_if_stale()
+        if self.stats["config"].get("positional"):
+            slots = self._mpp_slots(phrase, max_expansions)
+            if slots is None:
+                return {"query": phrase, "total_hits": 0, "results": []}
+            res = self._turbo_phrase(slots, k)
+            if res is not None:
+                res["query"] = phrase
+                return res
+        plan = self.match_phrase_prefix_plan(phrase, max_expansions)
+        obs = Observation()
+        with self._interactive():
+            top = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"])
+        return {
+            "query": phrase,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": float(r["n_occurrences"])}
+                for r in top
             ],
         }
 

@@ -154,13 +154,21 @@ SELECT doc_id, round(score, 6) AS score_r FROM scored
 ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
 
 
-def _phrase_sql(terms) -> str:
-    n = len(terms)
+def _phrase_sql(terms, last_prefix: str = "") -> str:
+    """Adjacency oracle; with ``last_prefix`` the phrase gains one more
+    position that may hold ANY term starting with the prefix — the
+    ``match_phrase_prefix`` oracle (the engine caps expansions at 50;
+    gate prefixes are chosen to expand below the cap, so LIKE equals
+    the capped expansion set)."""
+    n = len(terms) + (1 if last_prefix else 0)
     joins = " ".join(
         f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
         for i in range(1, n)
     )
     conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+    if last_prefix:
+        like = f"p{n - 1}.term LIKE '{last_prefix}%'"
+        conds = f"{conds} AND {like}" if conds else like
     return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
        FROM documents WHERE lang = 'en'),
 pos AS (SELECT doc_id, L[i] AS term, i
@@ -655,6 +663,23 @@ def engine_phrase(spark, sf_dir):
     intersection)."""
     eng = _engine(spark, sf_dir)
     return eng.phrase_plan(" ".join(PHRASE_2)).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
+@register(
+    "engine_match_phrase_prefix",
+    _phrase_sql(["table"], last_prefix="s"),
+)
+def engine_match_phrase_prefix(spark, sf_dir):
+    """ES ``match_phrase_prefix`` served from the positional index:
+    'table s' matches 'table' followed by ANY live term starting with
+    's' (scan, sort, spark, stream, small, slow, ...), via the slots kernel (operators/phrase.py
+    phrase_slots_kernel — last slot carries the prefix expansions; ONE
+    bounded shuffle, not one kernel run per expansion).  Oracle: the
+    adjacency CTE with the last position as a LIKE predicate."""
+    eng = _engine(spark, sf_dir)
+    return eng.match_phrase_prefix_plan("table s").select(
         "doc_id", F.col("n_occurrences").alias("n_occ")
     )
 

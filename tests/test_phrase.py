@@ -188,3 +188,87 @@ def test_turbo_phrase_matches_plan(spark, pos_engine, phrase):
     turbo_eng = QueryEngine(spark, pos_engine.index_dir, turbo=True)
     plan_eng = QueryEngine(spark, pos_engine.index_dir, turbo=False)
     assert turbo_eng.phrase(phrase, k=10) == plan_eng.phrase(phrase, k=10), phrase
+
+
+# ---------------------------------------------- match_phrase_prefix (ES)
+
+MPP_PHRASES = [
+    # the "running studies flies died lying agreed plastered motoring"
+    # edge snippet plants real adjacencies (stems: run studi fli die
+    # lie agre plaster motor)
+    "running stud",        # [run] + stud* -> studi
+    "agreed plast",        # [agre] + plast* -> plaster
+    "stud",                # single-token prefix phrase
+    "running zzzz",        # dead prefix -> zero hits
+    "the running stud",    # stopword dropped, same as "running stud"
+    "running s",           # broad prefix: every live s* term competes
+]
+
+
+def _brute_mpp(spark, eng, phrase):
+    """Independent recompute over the live forward tokens: positions
+    where the leading analyzed terms match exactly and the next token
+    starts with the analyzed prefix."""
+    from elasticsearch_spark.operators.reader import live_tokens
+
+    terms = eng._terms(phrase)
+    if not terms:
+        return {}
+    first, prefix = terms[:-1], terms[-1]
+    k = len(first)
+    out = {}
+    for r in live_tokens(spark, eng.index_dir).collect():
+        toks = list(r["tokens"])
+        starts = [
+            i
+            for i in range(len(toks) - k)
+            if toks[i:i + k] == first and toks[i + k].startswith(prefix)
+        ]
+        if starts:
+            out[r["doc_id"]] = (len(starts), starts)
+    return out
+
+
+@pytest.mark.parametrize("phrase", MPP_PHRASES)
+def test_match_phrase_prefix_plan_matches_brute(spark, pos_engine, phrase):
+    """Slots-kernel plan ≡ forward-index recompute (the synthetic
+    vocabulary expands well under the 50-term cap, so startswith over
+    the token stream equals the capped dictionary expansion)."""
+    got = {
+        r["doc_id"]: (r["n_occurrences"], list(r["start_positions"]))
+        for r in pos_engine.match_phrase_prefix_plan(phrase).collect()
+    }
+    assert got == _brute_mpp(spark, pos_engine, phrase), phrase
+
+
+@pytest.mark.parametrize("phrase", MPP_PHRASES)
+def test_match_phrase_prefix_kernel_matches_join_slots(pos_engine, phrase):
+    """phrase_slots_kernel ≡ the join-cascade slots twin."""
+    from elasticsearch_spark.operators.phrase import phrase_match_slots
+
+    slots = pos_engine._mpp_slots(phrase, 50)
+    if slots is None:
+        pytest.skip("phrase expands to nothing at this corpus")
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["n_occurrences"], list(r["start_positions"]))
+            for r in df.collect()
+        }
+
+    got = rows(pos_engine.match_phrase_prefix_plan(phrase))
+    want = rows(
+        phrase_match_slots(pos_engine._positional_term_postings, slots)
+    )
+    assert got == want, phrase
+
+
+@pytest.mark.parametrize("phrase", MPP_PHRASES)
+def test_match_phrase_prefix_turbo_matches_plan(spark, pos_engine, phrase):
+    """Driver-side slots kernel ≡ distributed plan path, full result
+    shape (ranking, total_hits)."""
+    turbo_eng = QueryEngine(spark, pos_engine.index_dir, turbo=True)
+    plan_eng = QueryEngine(spark, pos_engine.index_dir, turbo=False)
+    assert turbo_eng.match_phrase_prefix(phrase, k=10) == plan_eng.match_phrase_prefix(
+        phrase, k=10
+    ), phrase
