@@ -1432,6 +1432,226 @@ class QueryEngine:
         return out
 
     # ----------------------------------------------- facets (aggregations)
+    # ------------------------------------------------- compound queries (ES)
+    def dis_max_plan(self, queries: Sequence[str],
+                     tie_breaker: float = 0.0,
+                     method: str = "bm25") -> Optional[DataFrame]:
+        """ES ``dis_max``: per doc, the BEST subquery score plus
+        ``tie_breaker`` times the rest — ``best + tb * (total − best)``
+        — instead of the bool-query sum.  Each subquery contributes its
+        own :meth:`score_plan`; the union shuffles once on doc_id for
+        the max/sum aggregate, and every scan underneath stays
+        bucket-pruned per subquery.  None when no subquery has a live
+        term."""
+        plans = [self.score_plan(q, method) for q in queries]
+        live = [p for p in plans if p is not None]
+        if not live:
+            return None
+        u = live[0].select("doc_id", "score")
+        for p in live[1:]:
+            u = u.unionByName(p.select("doc_id", "score"))
+        return (
+            u.groupBy("doc_id")
+            .agg(F.max("score").alias("best"), F.sum("score").alias("tot"))
+            .select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(float(tie_breaker)) * (F.col("tot") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+
+    def _turbo_dis_max(self, queries: Sequence[str], k: int,
+                       tie_breaker: float, method: str,
+                       want_total: bool) -> Optional[dict]:
+        """Driver-side dis_max twin: one pruned point read over the
+        union of subquery terms, per-subquery numpy accumulation, then
+        per-doc max/sum combine.  Result-identical to the plan path
+        (same formula, float64)."""
+        if not self.turbo:
+            return None
+        import numpy as np
+        from collections import Counter
+
+        per_query = [Counter(self._terms(q)) for q in queries]
+        all_terms = sorted({t for c in per_query for t in c})
+        idf_map = self.term_idf(all_terms)
+        live = sorted(t for t in all_terms if idf_map.get(t, 0.0) != 0.0)
+        if not live:
+            return {
+                "query": None,
+                "total_hits": 0 if want_total else None,
+                "results": [],
+            }
+        if sum(self._df_cache.get(t, 0) for t in live) > self.TURBO_MAX_POSTINGS:
+            return None
+        try:
+            term_a, doc, tf, dl = self._postings_point_read(live)
+        except Exception:
+            return None
+        ok = dl > 0
+        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
+        tf_f = tf.astype(np.float64)
+        if method == "bm25":
+            k1, b = self.k1, self.b
+            impact = (tf_f * (k1 + 1)) / (
+                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / self.avg_doc_len))
+            )
+        elif method == "tfidf":
+            impact = tf_f / dl.astype(np.float64)
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        order = np.argsort(term_a, kind="stable")
+        term_s, doc_s, imp_s = term_a[order], doc[order], impact[order]
+        bounds: Dict[str, tuple] = {}
+        if term_s.size:
+            change = np.nonzero(term_s[1:] != term_s[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [term_s.size]))
+            for s, e in zip(starts, ends):
+                bounds[term_s[s]] = (s, e)
+        q_docs, q_scores = [], []
+        for counts in per_query:
+            segs_d, segs_s = [], []
+            for t, mult in counts.items():
+                w = idf_map.get(t, 0.0)
+                if w == 0.0 or t not in bounds:
+                    continue
+                s, e = bounds[t]
+                segs_d.append(doc_s[s:e])
+                segs_s.append((w * float(mult)) * imp_s[s:e])
+            if not segs_d:
+                continue
+            d_all = np.concatenate(segs_d)
+            s_all = np.concatenate(segs_s)
+            du, inv = np.unique(d_all, return_inverse=True)
+            q_docs.append(du)
+            q_scores.append(np.bincount(inv, weights=s_all))
+        if not q_docs:
+            return {
+                "query": None,
+                "total_hits": 0 if want_total else None,
+                "results": [],
+            }
+        D = np.concatenate(q_docs)
+        S = np.concatenate(q_scores)
+        docs_u, inv = np.unique(D, return_inverse=True)
+        tot = np.bincount(inv, weights=S)
+        best = np.zeros(docs_u.size, dtype=np.float64)
+        np.maximum.at(best, inv, S)
+        score = best + float(tie_breaker) * (tot - best)
+        top = np.lexsort((docs_u, -score))[:k]
+        return {
+            "query": None,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(score[i])} for i in top
+            ],
+        }
+
+    def dis_max(self, queries: Sequence[str], k: int = 10,
+                tie_breaker: float = 0.0, method: str = "bm25",
+                with_total_hits: bool = True) -> dict:
+        """ES ``dis_max`` in the reference result shape; ``total_hits``
+        counts docs matching ANY subquery.  Small slices are served by
+        the driver-side twin; the distributed plan carries the count on
+        the top-k job via Observation."""
+        self._refresh_if_stale()
+        label = " | ".join(queries)
+        res = self._turbo_dis_max(queries, k, tie_breaker, method,
+                                  with_total_hits)
+        if res is not None:
+            res["query"] = label
+            return res
+        plan = self.dis_max_plan(queries, tie_breaker, method)
+        if plan is None:
+            return {
+                "query": label,
+                "total_hits": 0 if with_total_hits else None,
+                "results": [],
+            }
+        if not with_total_hits:
+            with self._interactive():
+                top = (
+                    plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .limit(k)
+                    .collect()
+                )
+            return {
+                "query": label,
+                "total_hits": None,
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+                ],
+            }
+        obs = Observation()
+        with self._interactive():
+            top = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"])
+        return {
+            "query": label,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+            ],
+        }
+
+    def constant_score_plan(self, query: str,
+                            boost: float = 1.0) -> Optional[DataFrame]:
+        """ES ``constant_score``: every doc matching the filter-context
+        match query scores exactly ``boost``.  Filter context means
+        LIVE-df membership, NOT idf weighting — a term present in every
+        doc (idf 0) still matches here, unlike the scoring paths."""
+        terms = self._terms(query)
+        if not terms:
+            return None
+        self.term_idf(terms)  # populate the live df cache
+        live = sorted({t for t in terms if self._df_cache.get(t, 0) > 0})
+        if not live:
+            return None
+        return (
+            self.match_plan(live)
+            .select("doc_id")
+            .withColumn("score", F.lit(float(boost)))
+        )
+
+    def boosting_plan(self, positive: str, negative: str,
+                      negative_boost: float = 0.5,
+                      method: str = "bm25") -> Optional[DataFrame]:
+        """ES ``boosting`` query: docs score the positive query
+        normally, demoted by ``negative_boost`` when they ALSO match
+        the (filter-context) negative query.  Left join against the
+        negative hit set — at scale the negative side is the rarer one
+        and Catalyst broadcasts it under AQE."""
+        pos = self.score_plan(positive, method)
+        if pos is None:
+            return None
+        neg_terms = self._terms(negative)
+        self.term_idf(neg_terms)
+        neg_live = sorted({t for t in neg_terms if self._df_cache.get(t, 0) > 0})
+        if not neg_live:
+            return pos
+        neg = (
+            self.match_plan(neg_live)
+            .select("doc_id")
+            .withColumn("_neg", F.lit(1))
+        )
+        return pos.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.col("score") * F.lit(float(negative_boost)),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+
     def match_plan(self, terms: Sequence[str]) -> DataFrame:
         """Distinct (doc_id, doc_len) matching ANY of the analyzed
         ``terms`` — the hit set an ES aggregation runs over.  Pruned

@@ -897,6 +897,103 @@ def engine_fuzzy_sidecar_topk(spark, sf_dir):
     return _topk(plan, 10)
 
 
+def _dis_max_sql(termsets, tie_breaker: float, k: int = 10,
+                 k1: float = K1, b: float = B) -> str:
+    """dis_max oracle: per-subquery BM25 sums, then per-doc
+    best + tie_breaker * (total − best)."""
+    all_terms = sorted({t for s in termsets for t in s})
+    expr = (
+        f"idf.idf * ((tf.tf * ({k1} + 1)) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / corpus.avgdl))))"
+    )
+    subs = []
+    for i, s in enumerate(termsets):
+        subs.append(
+            f"""s{i} AS (SELECT tf.doc_id, sum({expr}) AS score
+  FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.doc_id = dl.doc_id, corpus
+  WHERE idf.idf <> 0 AND tf.term IN ({_sql_terms(sorted(s))})
+  GROUP BY tf.doc_id)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM s{i}" for i in range(len(termsets))
+    )
+    score = f"best + {tie_breaker} * (tot - best)"
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(all_terms)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+{",".join(subs)},
+u AS ({union}),
+c AS (SELECT doc_id, max(score) AS best, sum(score) AS tot FROM u GROUP BY doc_id)
+SELECT doc_id, round({score}, 6) AS score_r
+FROM c ORDER BY round({score}, 6) DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_dis_max", _dis_max_sql([Q1_TERMS, Q2_TERMS], 0.3))
+def engine_dis_max(spark, sf_dir):
+    """ES ``dis_max`` over the two benchmark queries (tie_breaker
+    0.3): per doc the best subquery score plus 0.3 of the rest,
+    instead of the bool-query sum.  Each subquery is its own
+    bucket-pruned score plan; one doc_id shuffle combines them."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.dis_max_plan(
+        [" ".join(Q1_TERMS), " ".join(Q2_TERMS)], tie_breaker=0.3
+    )
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_constant_score",
+    f"""WITH {_TOK_CTE}
+SELECT DISTINCT doc_id, 1.7::DOUBLE AS score_r
+FROM tok WHERE term IN ({_sql_terms(Q1_TERMS)})""",
+)
+def engine_constant_score(spark, sf_dir):
+    """ES ``constant_score``: the filter-context hit set (ANY query
+    term, LIVE-df membership — idf plays no role in filter context)
+    scored at exactly the boost."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.constant_score_plan(" ".join(Q1_TERMS), boost=1.7)
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return plan.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
+@register(
+    "engine_boosting",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id, sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                 (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0 GROUP BY tf.doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('hash','join'))
+SELECT s.doc_id,
+       round(CASE WHEN n.doc_id IS NULL THEN s.score ELSE s.score * 0.4 END, 6) AS score_r
+FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+ORDER BY score_r DESC, s.doc_id LIMIT 10""",
+)
+def engine_boosting(spark, sf_dir):
+    """ES ``boosting`` query: BM25 over the positive query, demoted
+    ×0.4 for docs also matching the filter-context negative query
+    ('hash join').  Left join against the (rarer) negative hit set —
+    broadcastable at scale."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.boosting_plan(
+        " ".join(Q1_TERMS), "hash join", negative_boost=0.4
+    )
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
 @register("engine_wildcard_topk", _expansion_bm25_sql("term LIKE 's_a%'"))
 def engine_wildcard_topk(spark, sf_dir):
     """ES ``wildcard`` query served from the real index: the pattern
