@@ -1696,6 +1696,89 @@ class QueryEngine:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
 
+    def stats_doc_len(self, terms: Sequence[str],
+                      extended: bool = False) -> DataFrame:
+        """ES ``stats`` / ``extended_stats`` aggregation over the hit
+        set's ``doc_len`` — entirely index-resident (doc_len rides the
+        postings rows): one pruned scan, one partial-agg shuffle to a
+        single row.  ``extended`` adds population variance / stddev
+        (ES's definition)."""
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_len").cast("long").alias("min_len"),
+            F.max("doc_len").cast("long").alias("max_len"),
+            F.avg("doc_len").cast("double").alias("avg_len"),
+            F.sum("doc_len").cast("long").alias("sum_len"),
+        ]
+        if extended:
+            aggs += [
+                F.var_pop("doc_len").cast("double").alias("var_len"),
+                F.stddev_pop("doc_len").cast("double").alias("std_len"),
+            ]
+        return self.match_plan(terms).agg(*aggs)
+
+    def range_facet_doc_len(self, terms: Sequence[str],
+                            edges: Sequence[int]) -> DataFrame:
+        """ES ``range`` aggregation over the hit set's ``doc_len``:
+        buckets are [edges[i], edges[i+1]) plus an open last bucket
+        [edges[-1], ∞), keyed by the bucket's lower edge (−1 below the
+        first edge, matching ES's explicit-from behavior of dropping
+        out-of-range docs — we keep them visible instead of silent)."""
+        edges = sorted(int(e) for e in edges)
+        # chained whens from the top edge down: the last matching
+        # (largest) lower edge wins
+        expr = F.lit(-1).cast("long")
+        for lo in edges:
+            expr = F.when(F.col("doc_len") >= lo, F.lit(lo).cast("long")).otherwise(expr)
+        return (
+            self.match_plan(terms)
+            .groupBy(expr.alias("range_lo"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
+    def cardinality(self, terms: Sequence[str], dims: DataFrame,
+                    col: str = "source", on: str = "doc_id",
+                    exact: bool = True, rsd: float = 0.05) -> DataFrame:
+        """ES ``cardinality`` aggregation over an external attribute:
+        distinct ``col`` values among the hit set.  ``exact=False``
+        uses HyperLogLog++ (``approx_count_distinct``, the same sketch
+        family ES uses) — the 100-TB shape, since exact distinct
+        shuffles every value and HLL merges fixed-size sketches
+        map-side; the exact variant is the gate oracle twin."""
+        hits = self.match_plan(terms).select(on).join(dims, on)
+        agg = (
+            F.countDistinct(col) if exact
+            else F.approx_count_distinct(col, rsd)
+        )
+        return hits.agg(agg.cast("long").alias("n_distinct"))
+
+    def top_hits_by(self, query: str, dims: DataFrame,
+                    col: str = "source", n: int = 3,
+                    method: str = "bm25", on: str = "doc_id"
+                    ) -> Optional[DataFrame]:
+        """ES ``top_hits`` inside a terms aggregation: the n
+        best-scoring docs per ``col`` bucket.  Score plan ⋈ dims, then
+        a per-bucket window rank — the window partitions by the facet
+        value, so no global sort exists and buckets rank in parallel.
+        Ties break (rounded score desc, doc_id asc), the engine-wide
+        deterministic order."""
+        from pyspark.sql import Window
+
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return None
+        scored = plan.join(dims, on).withColumn(
+            "score_r", F.round("score", 6)
+        )
+        w = Window.partitionBy(col).orderBy(
+            F.col("score_r").desc(), F.col(on).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(n))
+            .select(col, "rank", on, "score_r")
+        )
+
     # ------------------------------------------------------ more-like-this
     def mlt_terms(self, doc_id: int, max_query_terms: int = 25) -> List[str]:
         """ES more_like_this term selection: the source doc's terms

@@ -1118,6 +1118,99 @@ def facet_source_counts(spark, sf_dir):
 
 
 @register(
+    "agg_stats_doc_len",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT tok.doc_id, dl.doc_len FROM tok
+         JOIN dl ON tok.doc_id = dl.doc_id
+         WHERE tok.term IN ({_sql_terms(Q1_TERMS)}))
+SELECT count(*)::BIGINT AS n_docs, min(doc_len)::BIGINT AS min_len,
+       max(doc_len)::BIGINT AS max_len, round(avg(doc_len), 6) AS avg_len_r,
+       sum(doc_len)::BIGINT AS sum_len,
+       round(var_pop(doc_len), 6) AS var_len_r
+FROM hits""",
+)
+def agg_stats_doc_len(spark, sf_dir):
+    """ES stats/extended_stats aggregation over the hit set's doc_len,
+    served entirely from the index (one pruned scan, one partial-agg
+    shuffle to a single row; population variance = ES definition)."""
+    eng = _engine(spark, sf_dir)
+    return eng.stats_doc_len(Q1_TERMS, extended=True).select(
+        "n_docs", "min_len", "max_len",
+        F.round("avg_len", 6).alias("avg_len_r"), "sum_len",
+        F.round("var_len", 6).alias("var_len_r"),
+    )
+
+
+@register(
+    "agg_range_doc_len",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT tok.doc_id, dl.doc_len FROM tok
+         JOIN dl ON tok.doc_id = dl.doc_id
+         WHERE tok.term IN ({_sql_terms(Q1_TERMS)}))
+SELECT CASE WHEN doc_len >= 75 THEN 75 WHEN doc_len >= 50 THEN 50
+            WHEN doc_len >= 25 THEN 25 WHEN doc_len >= 0 THEN 0
+            ELSE -1 END::BIGINT AS range_lo,
+       count(*)::BIGINT AS n_docs
+FROM hits GROUP BY 1""",
+)
+def agg_range_doc_len(spark, sf_dir):
+    """ES range aggregation: explicit bucket edges over the hit set's
+    doc_len, keyed by lower edge."""
+    eng = _engine(spark, sf_dir)
+    return eng.range_facet_doc_len(Q1_TERMS, [0, 25, 50, 75])
+
+
+@register(
+    "agg_cardinality_source",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_sql_terms(Q1_TERMS)}))
+SELECT count(DISTINCT d.source)::BIGINT AS n_distinct
+FROM hits JOIN documents d USING (doc_id)""",
+)
+def agg_cardinality_source(spark, sf_dir):
+    """ES cardinality aggregation (exact twin — the HLL++ variant is
+    the 100-TB shape and is pytest-bounded against this exact count)."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir, lang=None).select("doc_id", "source")
+    return eng.cardinality(Q1_TERMS, dims, col="source", exact=True)
+
+
+@register(
+    "agg_top_hits_per_source",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id, sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                 (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0 GROUP BY tf.doc_id),
+ranked AS (SELECT d.source, s.doc_id, round(s.score, 6) AS score_r,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY round(s.score, 6) DESC, s.doc_id) AS rank
+           FROM scored s JOIN documents d USING (doc_id))
+SELECT source, rank::BIGINT AS rank, doc_id, score_r
+FROM ranked WHERE rank <= 2""",
+)
+def agg_top_hits_per_source(spark, sf_dir):
+    """ES top_hits inside a terms aggregation: the 2 best-scoring docs
+    per source bucket — per-bucket window rank, no global sort."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir, lang=None).select("doc_id", "source")
+    plan = eng.top_hits_by(" ".join(Q1_TERMS), dims, col="source", n=2)
+    if plan is None:
+        return _docs(spark, sf_dir).select(
+            "source", F.lit(0).cast("long").alias("rank"), "doc_id",
+            F.lit(0.0).alias("score_r"),
+        ).limit(0)
+    return plan.select(
+        "source", F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )
+
+
+@register(
     "engine_search_after_page2",
     f"""WITH {_TOK_CTE},
 tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok

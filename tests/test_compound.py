@@ -170,3 +170,71 @@ def test_boosting_semantics(turbo, plan_eng, mid_terms):
     plan2 = plan_eng.boosting_plan(pos, "zzzznothere", negative_boost=0.4)
     got2 = {r["doc_id"]: round(r["score"], 9) for r in plan2.collect()}
     assert got2 == {d: round(s, 9) for d, s in base.items()}
+
+
+# --------------------------------------------------- aggregations (ES)
+
+def test_stats_and_range_facets(plan_eng, mid_terms):
+    """stats/extended_stats and range aggs vs a python recompute over
+    the hit set's doc_len."""
+    import statistics
+
+    terms = mid_terms[:2]
+    lens = [r["doc_len"] for r in plan_eng.match_plan(terms).collect()]
+    row = plan_eng.stats_doc_len(terms, extended=True).collect()[0]
+    assert row["n_docs"] == len(lens)
+    assert row["min_len"] == min(lens) and row["max_len"] == max(lens)
+    assert abs(row["avg_len"] - sum(lens) / len(lens)) < 1e-9
+    assert row["sum_len"] == sum(lens)
+    assert abs(row["var_len"] - statistics.pvariance(lens)) < 1e-6
+    assert abs(row["std_len"] - statistics.pstdev(lens)) < 1e-6
+    edges = [0, 40, 80]
+    got = {
+        r["range_lo"]: r["n_docs"]
+        for r in plan_eng.range_facet_doc_len(terms, edges).collect()
+    }
+    want = {}
+    for ln in lens:
+        lo = max((e for e in edges if ln >= e), default=-1)
+        want[lo] = want.get(lo, 0) + 1
+    assert got == want
+
+
+def test_cardinality_exact_and_hll(spark, plan_eng, mid_terms):
+    """Exact distinct vs a recompute; the HLL++ variant (the 100-TB
+    shape) lands within a loose bound of the exact count."""
+    terms = mid_terms[:2]
+    hit_ids = [r["doc_id"] for r in plan_eng.match_plan(terms).collect()]
+    dims = spark.range(0, 100_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("attr")
+    )
+    want = len({d % 13 for d in hit_ids})
+    exact = plan_eng.cardinality(terms, dims, col="attr", exact=True).collect()[0][0]
+    assert exact == want
+    approx = plan_eng.cardinality(
+        terms, dims, col="attr", exact=False, rsd=0.02
+    ).collect()[0][0]
+    assert abs(approx - want) <= max(1, int(0.1 * want))
+
+
+def test_top_hits_by_matches_recompute(spark, turbo, plan_eng, mid_terms):
+    """top_hits per bucket == per-attr (rounded score desc, doc_id)
+    top-n from the full ranked result."""
+    q = " ".join(mid_terms[:2])
+    dims = spark.range(0, 100_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("attr")
+    )
+    rows = plan_eng.top_hits_by(q, dims, col="attr", n=2).collect()
+    got = sorted((r["attr"], r["rank"], r["doc_id"]) for r in rows)
+    full = turbo.ranked(q, k=100_000)["results"]
+    buckets = {}
+    for r in full:
+        buckets.setdefault(r["doc_id"] % 3, []).append(
+            (round(r["score"], 6), r["doc_id"])
+        )
+    want = []
+    for attr, lst in buckets.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for i, (_s, d) in enumerate(lst[:2], start=1):
+            want.append((attr, i, d))
+    assert got == sorted(want)
