@@ -37,9 +37,44 @@ PHRASE_RESULT_SCHEMA = (
 )
 
 
+def sloppy_starts(slot_pos, slop: int):
+    """Start positions of ordered sloppy-phrase matches within one doc.
+
+    ``slot_pos`` is one SORTED int position array per phrase slot.  A
+    start position ``p0`` (an occurrence of slot 0) matches iff
+    positions ``p0 < p1 < … < p_{k-1}`` exist with ``p_i`` in slot i
+    and span ``p_{k-1} − p0 ≤ (k−1) + slop`` — ES ``match_phrase`` with
+    ``slop`` restricted to in-order matches (Lucene's move-based slop
+    additionally permits transpositions; the ordered form is the
+    self-consistent one for an engine whose exact phrase is in-order,
+    and reduces EXACTLY to adjacency at slop=0: strictly increasing
+    ints spanning ≤ k−1 must be consecutive).
+
+    Greedy completion: picking the SMALLEST next position > prev
+    minimizes the final position (monotone in prev), so a greedy chain
+    succeeds iff any completion exists — one vectorized
+    ``searchsorted`` per slot instead of enumerating tuples."""
+    import numpy as np
+
+    starts = np.asarray(slot_pos[0], dtype=np.int64)
+    if starts.size == 0:
+        return starts
+    big = np.int64(2**62)
+    prev = starts
+    for arr in slot_pos[1:]:
+        arr = np.asarray(arr, dtype=np.int64)
+        if arr.size == 0:
+            return starts[:0]
+        idx = np.searchsorted(arr, prev, side="right")
+        ok = idx < arr.size
+        prev = np.where(ok, arr[np.minimum(idx, arr.size - 1)], big)
+    return starts[(prev - starts) <= (len(slot_pos) - 1 + slop)]
+
+
 def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
                         codec_name: str = "vbyte",
-                        tombstones: Optional[Sequence[int]] = None) -> DataFrame:
+                        tombstones: Optional[Sequence[int]] = None,
+                        slop: int = 0) -> DataFrame:
     """Positional phrase matching as ONE doc-range-partitioned kernel
     over the compressed block layout — the WAND-kernel shape applied to
     adjacency.
@@ -56,13 +91,14 @@ def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
     pytest-enforced; the ``phrase_*`` driver gates hash-check this
     kernel against DuckDB."""
     return phrase_slots_kernel(
-        blocks, [[t] for t in terms], codec_name, tombstones
+        blocks, [[t] for t in terms], codec_name, tombstones, slop
     )
 
 
 def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
                         codec_name: str = "vbyte",
-                        tombstones: Optional[Sequence[int]] = None) -> DataFrame:
+                        tombstones: Optional[Sequence[int]] = None,
+                        slop: int = 0) -> DataFrame:
     """Generalized phrase kernel: each phrase position (``slot``) is a
     SET of alternative terms — the shape behind ES ``match_phrase_prefix``
     (last slot = the prefix's dictionary expansions) and synonym-aware
@@ -118,11 +154,14 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
             cand &= m.keys()
         out = []
         for doc in sorted(cand):
-            p = slot_maps[0][doc]
-            for i, m in enumerate(slot_maps[1:], start=1):
-                p = np.intersect1d(p, m[doc] - i)
-                if p.size == 0:
-                    break
+            if slop:
+                p = sloppy_starts([m[doc] for m in slot_maps], slop)
+            else:
+                p = slot_maps[0][doc]
+                for i, m in enumerate(slot_maps[1:], start=1):
+                    p = np.intersect1d(p, m[doc] - i)
+                    if p.size == 0:
+                        break
             if p.size:
                 out.append((doc, int(p.size), np.sort(p).astype("int32").tolist()))
         return pd.DataFrame(out, columns=cols)
@@ -135,12 +174,17 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
 def phrase_match(
     postings_for: Callable[[str], DataFrame],
     terms: Sequence[str],
+    slop: int = 0,
 ) -> DataFrame:
     """``postings_for(term)`` must return ``DataFrame(doc_id,
     positions:array<int>)``.  Returns ``(doc_id, n_occurrences,
-    start_positions)`` for docs containing the exact phrase."""
+    start_positions)`` for docs containing the exact phrase —
+    or, with ``slop``, the ordered sloppy phrase (see
+    :func:`sloppy_starts` for the semantics)."""
     if not terms:
         raise ValueError("phrase_match needs at least one term")
+    if slop:
+        return phrase_match_slots(postings_for, [[t] for t in terms], slop)
     df = postings_for(terms[0]).select("doc_id", F.col("positions").alias("p"))
     for i, t in enumerate(terms[1:], start=1):
         nxt = postings_for(t).select(
@@ -163,13 +207,21 @@ def phrase_match(
 def phrase_match_slots(
     postings_for: Callable[[str], DataFrame],
     slots: Sequence[Sequence[str]],
+    slop: int = 0,
 ) -> DataFrame:
     """Join-cascade twin of :func:`phrase_slots_kernel` (semantics
     oracle; also the fallback for pre-position-codec indexes).  A
     slot's positions are the per-doc union of its alternatives'
     positions (flatten + distinct — disjoint anyway, one token per
     position), then the same shifted ``array_intersect`` fold as
-    :func:`phrase_match`."""
+    :func:`phrase_match`.
+
+    With ``slop`` the fold instead carries the greedy-chain frontier of
+    :func:`sloppy_starts` as an array column: one ``transform`` per
+    slot maps each live chain to the smallest next position
+    (``array_min(filter(p_next, y -> y > x))`` — null chains stay
+    null), and the final ``zip_with`` keeps starts whose chain spans
+    ≤ (k−1)+slop.  All higher-order functions, JVM-side, no UDF."""
     slots = [list(s) for s in slots]
     if not slots or any(not s for s in slots):
         raise ValueError("phrase_match_slots needs non-empty slots")
@@ -185,6 +237,51 @@ def phrase_match_slots(
             F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list("positions")))
             ).alias("positions")
+        )
+
+    if slop:
+        df = slot_df(slots[0]).select(
+            "doc_id",
+            F.col("positions").alias("starts"),
+            F.col("positions").alias("prev"),
+        )
+        for alts in slots[1:]:
+            nxt = slot_df(alts).select(
+                "doc_id", F.col("positions").alias("p_next")
+            )
+            df = (
+                df.join(nxt, "doc_id")
+                .withColumn(
+                    "prev",
+                    F.transform(
+                        "prev",
+                        lambda x: F.array_min(
+                            F.filter(F.col("p_next"), lambda y: y > x)
+                        ),
+                    ),
+                )
+                .drop("p_next")
+                .filter(F.exists("prev", lambda x: x.isNotNull()))
+            )
+        span = len(slots) - 1 + slop
+        ok = F.filter(
+            F.zip_with(
+                "starts",
+                "prev",
+                lambda s, p: F.when(
+                    p.isNotNull() & ((p - s) <= F.lit(span)), s
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return (
+            df.select("doc_id", ok.alias("p"))
+            .filter(F.size("p") > 0)
+            .select(
+                "doc_id",
+                F.size("p").cast("long").alias("n_occurrences"),
+                F.sort_array("p").alias("start_positions"),
+            )
         )
 
     df = slot_df(slots[0]).select("doc_id", F.col("positions").alias("p"))
@@ -222,10 +319,12 @@ def positional_postings(tokens_df: DataFrame, terms: Sequence[str] | None = None
 
 
 def phrase_query(tokens_df: DataFrame, phrase_terms: Sequence[str],
-                 id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+                 id_col: str = "doc_id", tokens_col: str = "tokens",
+                 slop: int = 0) -> DataFrame:
     """One-shot phrase query over a tokenized docs table."""
     post = positional_postings(tokens_df, phrase_terms, id_col, tokens_col)
     return phrase_match(
         lambda t: post.filter(F.col("term") == t).select("doc_id", "positions"),
         list(phrase_terms),
+        slop,
     )

@@ -759,11 +759,14 @@ class QueryEngine:
                 self._blocks_df = merged
         return self._blocks_df
 
-    def phrase_plan(self, phrase: str) -> DataFrame:
+    def phrase_plan(self, phrase: str, slop: int = 0) -> DataFrame:
         """Exact-phrase match plan ``(doc_id, n_occurrences,
         start_positions)`` over the positional index (requires the index
         to be built with ``IndexConfig(positional=True)``).  Adjacency is
-        over processed-token positions (operators/phrase.py).
+        over processed-token positions (operators/phrase.py).  With
+        ``slop`` the match is the ordered sloppy phrase — ES
+        ``match_phrase``'s ``slop`` parameter restricted to in-order
+        matches (semantics: operators/phrase.py ``sloppy_starts``).
 
         Served by the doc-range POSITIONAL KERNEL over the compressed
         blocks (one bounded shuffle of the phrase terms' block runs,
@@ -776,7 +779,7 @@ class QueryEngine:
             return self._empty_phrase_plan()
         blocks = self._blocks()
         if blocks is None:
-            return self.phrase_plan_join(phrase)
+            return self.phrase_plan_join(phrase, slop)
         from .phrase import phrase_match_kernel
 
         buckets = sorted({term_bucket(t, self.n_buckets) for t in set(terms)})
@@ -785,10 +788,10 @@ class QueryEngine:
         ).select("term", "range_id", "doc_blob", "tf_blob", "len_blob", "pos_blob")
         return phrase_match_kernel(
             pruned, terms, self.stats["config"].get("codec", "vbyte"),
-            self._tombstones,
+            self._tombstones, slop,
         )
 
-    def phrase_plan_join(self, phrase: str) -> DataFrame:
+    def phrase_plan_join(self, phrase: str, slop: int = 0) -> DataFrame:
         """The join-cascade phrase plan (k−1 doc_id-equi joins over
         per-term positional postings) — kept as the semantics oracle for
         the kernel (identity pytest-enforced) and as the fallback for
@@ -799,7 +802,7 @@ class QueryEngine:
         terms = self._phrase_terms_checked(phrase)
         if not terms:
             return self._empty_phrase_plan()
-        return phrase_match(self._positional_term_postings, terms)
+        return phrase_match(self._positional_term_postings, terms, slop)
 
     def _phrase_terms_checked(self, phrase: str) -> List[str]:
         if not self.stats["config"].get("positional"):
@@ -813,7 +816,8 @@ class QueryEngine:
             F.array().cast("array<int>").alias("start_positions"),
         ).limit(0)
 
-    def _turbo_phrase(self, slots: List[List[str]], k: int) -> Optional[dict]:
+    def _turbo_phrase(self, slots: List[List[str]], k: int,
+                      slop: int = 0) -> Optional[dict]:
         """Driver-side phrase evaluation for small slices: pyarrow
         pruned read of the slots' block runs, decode doc/tf/position
         streams in numpy, shifted-position intersection per candidate
@@ -890,12 +894,17 @@ class QueryEngine:
         for m in slot_maps[1:]:
             cand &= m.keys()
         results = []
+        from .phrase import sloppy_starts
+
         for doc in cand:
-            p = slot_maps[0][doc]
-            for i, m in enumerate(slot_maps[1:], start=1):
-                p = np.intersect1d(p, m[doc] - i)
-                if p.size == 0:
-                    break
+            if slop:
+                p = sloppy_starts([m[doc] for m in slot_maps], slop)
+            else:
+                p = slot_maps[0][doc]
+                for i, m in enumerate(slot_maps[1:], start=1):
+                    p = np.intersect1d(p, m[doc] - i)
+                    if p.size == 0:
+                        break
             if p.size:
                 results.append((doc, int(p.size), np.sort(p).tolist()))
         results.sort(key=lambda r: (-r[1], r[0]))
@@ -907,22 +916,23 @@ class QueryEngine:
             ],
         }
 
-    def phrase(self, phrase: str, k: int = 10) -> dict:
+    def phrase(self, phrase: str, k: int = 10, slop: int = 0) -> dict:
         """Reference result shape; phrase hits ranked by occurrence
         count then doc_id (no BM25 — the grammar's PHRASE op is set-
-        valued, README.md:39-48).  Small slices are served by the
-        driver-side turbo path (zero Spark jobs)."""
+        valued, README.md:39-48).  ``slop`` gives the ordered sloppy
+        phrase (ES ``match_phrase`` slop).  Small slices are served by
+        the driver-side turbo path (zero Spark jobs)."""
         self._refresh_if_stale()
         if self.stats["config"].get("positional"):
             terms = self._terms(phrase)
             if terms:
-                res = self._turbo_phrase([[t] for t in terms], k)
+                res = self._turbo_phrase([[t] for t in terms], k, slop)
                 if res is not None:
                     res["query"] = phrase
                     return res
         # same single-job Observation trick as ranked(): count rides the
         # top-k action, no persist + count double action
-        plan = self.phrase_plan(phrase)
+        plan = self.phrase_plan(phrase, slop)
         obs = Observation()
         with self._interactive():
             top = (

@@ -128,6 +128,41 @@ class OracleIndex:
             out = {doc: starts for doc, starts in out.items() if starts}
         return {doc: sorted(starts) for doc, starts in out.items()}
 
+    def sloppy_phrase_query(self, phrase: str, slop: int,
+                            pretokenized_query: bool = False
+                            ) -> Dict[int, List[int]]:
+        """doc_id -> start positions of the ORDERED sloppy phrase
+        (operators/phrase.py ``sloppy_starts`` semantics) by
+        brute-force tuple enumeration — deliberately NOT the greedy
+        algorithm, so engine/oracle agreement exercises the greedy
+        optimality argument too."""
+        terms = phrase.split() if pretokenized_query else preprocess_query(phrase)
+        if not terms:
+            return {}
+        span = len(terms) - 1 + slop
+        docs = None
+        for t in terms:
+            ds = set(self.positions.get(t, {}))
+            docs = ds if docs is None else docs & ds
+        out: Dict[int, List[int]] = {}
+        for doc in docs or ():
+            plists = [self.positions[t][doc] for t in terms]
+            starts = []
+            for p0 in plists[0]:
+                chains = [p0]
+                for arr in plists[1:]:
+                    chains = [
+                        q for prev in chains for q in arr
+                        if q > prev and q - p0 <= span
+                    ]
+                    if not chains:
+                        break
+                if chains:
+                    starts.append(p0)
+            if starts:
+                out[doc] = sorted(starts)
+        return out
+
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
         rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))

@@ -667,6 +667,60 @@ def engine_phrase(spark, sf_dir):
     )
 
 
+def _phrase_slop_sql(terms, slop: int) -> str:
+    """Ordered sloppy-phrase oracle (ES ``match_phrase`` with ``slop``,
+    in-order form — operators/phrase.py ``sloppy_starts``): a start
+    position matches iff an increasing completion exists with span
+    − (k−1) ≤ slop.  ``count(DISTINCT p0.i)`` counts start positions
+    with ≥1 completion — exactly the greedy-chain semantics, since the
+    greedy minimal completion exists iff any does."""
+    k = len(terms)
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i > p{i-1}.i"
+        for i in range(1, k)
+    )
+    conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+    span = k - 1 + slop
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+pos AS (SELECT doc_id, L[i] AS term, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t))
+SELECT p0.doc_id, count(DISTINCT p0.i)::BIGINT AS n_occ
+FROM pos p0 {joins}
+WHERE {conds} AND p{k - 1}.i - p0.i <= {span}
+GROUP BY p0.doc_id"""
+
+
+@register("phrase_slop_bigram", _phrase_slop_sql(PHRASE_2, 1))
+def phrase_slop_bigram(spark, sf_dir):
+    """ES ``match_phrase`` with ``slop=1`` (ordered): the higher-order-
+    function fold (operators/phrase.py phrase_match_slots) carrying the
+    greedy-chain frontier — one transform per slot, no UDF."""
+    from ..operators.phrase import phrase_query
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    return phrase_query(d, PHRASE_2, slop=1).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
+PHRASE_SLOP_3 = ["table", "hash", "window"]
+
+
+@register("engine_phrase_slop", _phrase_slop_sql(PHRASE_SLOP_3, 2))
+def engine_phrase_slop(spark, sf_dir):
+    """Sloppy phrase served from the positional index: the doc-range
+    kernel decodes each term's blocks once and runs the vectorized
+    greedy chain (searchsorted per slot) instead of the shifted
+    intersection."""
+    eng = _engine(spark, sf_dir)
+    return eng.phrase_plan(" ".join(PHRASE_SLOP_3), slop=2).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
 @register(
     "engine_match_phrase_prefix",
     _phrase_sql(["table"], last_prefix="s"),

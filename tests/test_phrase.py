@@ -272,3 +272,111 @@ def test_match_phrase_prefix_turbo_matches_plan(spark, pos_engine, phrase):
     assert turbo_eng.match_phrase_prefix(phrase, k=10) == plan_eng.match_phrase_prefix(
         phrase, k=10
     ), phrase
+
+
+# ------------------------------------------------- sloppy phrase (slop)
+
+def test_sloppy_starts_hand_cases():
+    """Greedy-chain kernel on hand-built position lists (ordered ES
+    match_phrase slop semantics; operators/phrase.py sloppy_starts)."""
+    from elasticsearch_spark.operators.phrase import sloppy_starts
+
+    # "a b" with one gap: a@0, b@2 -> slop 0 misses, slop 1 hits
+    assert sloppy_starts([[0], [2]], 1).tolist() == [0]
+    from elasticsearch_spark.operators.phrase import sloppy_starts as ss
+    import numpy as np
+
+    assert ss([np.array([0]), np.array([2])], 1).tolist() == [0]
+    # at slop=0 the span check reduces to exact adjacency
+    assert ss([[0, 5], [1, 6]], 0).tolist() == [0, 5]
+    assert ss([[0, 5], [2, 6]], 0).tolist() == [5]
+    # ordered only: b@0, a@1 gives no "a b" match at any slop
+    assert ss([[1], [0]], 3).tolist() == []
+    # greedy must not over-commit: a@0, b@[1, 9], c@[2]
+    # greedy b=1 then c=2, span 2 <= 2+0 -> matches at slop 0 via slop path
+    assert ss([[0], [1, 9], [2]], 1).tolist() == [0]
+    # span too wide: a@0 b@4 c@8, k-1=2, span 8 needs slop >= 6
+    assert ss([[0], [4], [8]], 5).tolist() == []
+    assert ss([[0], [4], [8]], 6).tolist() == [0]
+    # empty slot kills everything
+    assert ss([[0, 1], [], [2]], 9).tolist() == []
+
+
+SLOPPY_CASES = [
+    ("machine learning", 1),
+    ("machine learning", 3),
+    ("machine studies", 2),   # gap phrase only matchable with slop
+    ("learning machine", 2),  # reversed order: ordered slop finds real
+    ("sparkhead learning", 5),
+    ("machine machine", 2),   # repeated term, strictly increasing chain
+]
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY_CASES)
+def test_sloppy_phrase_parity(pos_engine, oracle_index, phrase, slop):
+    """Kernel (vectorized greedy chain) vs the oracle's brute-force
+    tuple enumeration — agreement exercises the greedy-optimality
+    argument, not just the implementation."""
+    want = oracle_index.sloppy_phrase_query(phrase, slop)
+    got = {
+        r["doc_id"]: list(r["start_positions"])
+        for r in pos_engine.phrase_plan(phrase, slop=slop).collect()
+    }
+    assert got == want, (phrase, slop)
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY_CASES)
+def test_sloppy_kernel_matches_join_plan(pos_engine, phrase, slop):
+    """Doc-range kernel ≡ the higher-order-function join fold."""
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["n_occurrences"], list(r["start_positions"]))
+            for r in df.collect()
+        }
+
+    assert rows(pos_engine.phrase_plan(phrase, slop=slop)) == rows(
+        pos_engine.phrase_plan_join(phrase, slop=slop)
+    ), (phrase, slop)
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_slop_zero_is_exact_phrase(pos_engine, phrase):
+    def rows(df):
+        return {
+            r["doc_id"]: list(r["start_positions"]) for r in df.collect()
+        }
+
+    assert rows(pos_engine.phrase_plan(phrase, slop=0)) == rows(
+        pos_engine.phrase_plan(phrase)
+    ), phrase
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY_CASES[:3])
+def test_turbo_sloppy_matches_plan(spark, pos_engine, phrase, slop):
+    turbo_eng = QueryEngine(spark, pos_engine.index_dir, turbo=True)
+    plan_eng = QueryEngine(spark, pos_engine.index_dir, turbo=False)
+    assert turbo_eng.phrase(phrase, k=10, slop=slop) == plan_eng.phrase(
+        phrase, k=10, slop=slop
+    ), (phrase, slop)
+
+
+def test_sloppy_phrase_query_on_tokens_df(spark):
+    """Join-fold slop path on a hand-built corpus."""
+    rows = [
+        (0, ["a", "x", "b"]),        # gap 1 -> slop>=1
+        (1, ["a", "b"]),             # exact
+        (2, ["b", "a"]),             # reversed -> never (ordered)
+        (3, ["a", "x", "x", "b"]),   # gap 2 -> slop>=2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+    def got(slop):
+        return {
+            r["doc_id"]: list(r["start_positions"])
+            for r in phrase_query(df, ["a", "b"], slop=slop).collect()
+        }
+
+    assert got(0) == {1: [0]}
+    assert got(1) == {0: [0], 1: [0]}
+    assert got(2) == {0: [0], 1: [0], 3: [0]}
