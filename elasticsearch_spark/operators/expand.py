@@ -225,6 +225,42 @@ def wildcard_terms(spark, index_dir: str, manifest: Optional[dict],
                 max_expansions)
 
 
+_REGEX_META = set(".?+*|{}[]()\"\\#@&<>~^$")
+
+
+def regexp_terms(spark, index_dir: str, manifest: Optional[dict],
+                 pattern: str,
+                 max_expansions: int = ES_MAX_EXPANSIONS) -> List[str]:
+    """Indexed terms matching the ES ``regexp`` pattern (live df > 0),
+    top ``max_expansions`` by (df desc, term asc).  ES/Lucene regexps
+    are ANCHORED (the pattern must match the whole term) — compiled
+    here with Python ``re`` full-match, a superset of the Lucene
+    default operator set minus its optional ``~``/``<>``/``@`` flags.
+    The literal prefix before the first metacharacter prunes the
+    dictionary scan exactly like :func:`prefix_terms`; a pattern with
+    no literal prefix scans the whole dictionary (the documented ES
+    performance caveat)."""
+    import re
+
+    if not pattern:
+        return []
+    rx = re.compile(pattern)
+    cut = min(
+        (i for i, c in enumerate(pattern) if c in _REGEX_META),
+        default=len(pattern),
+    )
+    # a trailing quantifier binds the previous literal char: back off one
+    if cut < len(pattern) and pattern[cut] in "?*+{" and cut > 0:
+        cut -= 1
+    pfx = pattern[:cut]
+    lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
+    totals = _live_range_df(spark, index_dir, manifest, lo, hi)
+    return _cap(
+        {t: df for t, df in totals.items() if rx.fullmatch(t)},
+        max_expansions,
+    )
+
+
 def suggest_terms(spark, index_dir: str, manifest: Optional[dict],
                   term: str, size: int = 5, max_edits: int = 2,
                   prefix_length: int = 1) -> List[Tuple[str, int, int]]:

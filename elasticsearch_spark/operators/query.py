@@ -1401,6 +1401,32 @@ class QueryEngine:
                     "results": []}
         return self.ranked(pattern, k, method, with_total_hits, terms=terms)
 
+    def regexp_expand(self, pattern: str,
+                      max_expansions: int = 50) -> List[str]:
+        """Indexed terms fully matching the ES ``regexp`` pattern
+        (anchored) — live df > 0, (df desc, term asc), capped; the
+        literal prefix prunes the dictionary scan (operators/expand.py).
+        Term-level: NOT analyzed (ES behavior)."""
+        from . import expand as X
+
+        self._refresh_if_stale()
+        return X.regexp_terms(
+            self.spark, self.index_dir, self._manifest, pattern, max_expansions
+        )
+
+    def regexp_ranked(self, pattern: str, k: int = 10,
+                      method: str = "bm25", max_expansions: int = 50,
+                      with_total_hits: bool = True) -> dict:
+        """ES ``regexp`` query, scoring_boolean rewrite (see
+        :meth:`prefix_ranked`)."""
+        terms = self.regexp_expand(pattern, max_expansions)
+        label = f"/{pattern}/"
+        if not terms:
+            return {"query": label,
+                    "total_hits": 0 if with_total_hits else None,
+                    "results": []}
+        return self.ranked(label, k, method, with_total_hits, terms=terms)
+
     # ------------------------------------------------------ term suggester
     def suggest(self, text: str, size: int = 5, max_edits: int = 2,
                 prefix_length: int = 1,
@@ -1661,6 +1687,343 @@ class QueryEngine:
             .otherwise(F.col("score"))
             .alias("score"),
         )
+
+    @staticmethod
+    def _resolve_msm(minimum_should_match, must, filter_) -> int:
+        """ES default: ``minimum_should_match`` is 1 when the bool has
+        neither ``must`` nor ``filter`` clauses (should-only bools must
+        match something), else 0 (should is purely optional scoring)."""
+        if minimum_should_match is not None:
+            return int(minimum_should_match)
+        return 1 if not must and not filter_ else 0
+
+    def _filter_context_docs_plan(self, query: str) -> Optional[DataFrame]:
+        """Hit set (doc_id) of a filter-context match clause: docs
+        containing ANY live-df term of the analyzed query (membership,
+        not idf weighting — same convention as constant_score).  None
+        when the clause cannot match anything (no live terms — ES
+        ``zero_terms_query: none``)."""
+        terms = self._terms(query)
+        if not terms:
+            return None
+        self.term_idf(terms)  # populate the live df cache
+        live = sorted({t for t in terms if self._df_cache.get(t, 0) > 0})
+        if not live:
+            return None
+        return self.match_plan(live).select("doc_id")
+
+    def _empty_scored_plan(self) -> DataFrame:
+        return self._docs.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    def bool_plan(self, must: Sequence[str] = (),
+                  should: Sequence[str] = (),
+                  filter_: Sequence[str] = (),
+                  must_not: Sequence[str] = (),
+                  minimum_should_match: Optional[int] = None,
+                  method: str = "bm25") -> DataFrame:
+        """ES ``bool`` query over match clauses: ``must`` clauses all
+        match and contribute their :meth:`score_plan` scores, ``should``
+        clauses contribute when matched (gated by
+        ``minimum_should_match``), ``filter`` / ``must_not`` restrict
+        without scoring (filter context, live-df membership).  Scores
+        sum across clauses (ES bool semantics).  The reference grammar's
+        AND/OR/NOT is the set-valued subset (operators/boolean.py); this
+        is the scored structured superset an ES user expects.
+
+        Plan shape: every scoring clause is one bucket-pruned scan →
+        per-doc aggregate; the clause union shuffles ONCE on doc_id for
+        the combined (score, n_must, n_should) aggregate, then filter
+        context applies as semi/anti joins (broadcast by AQE when the
+        hit sets are small).  A bool with no scoring gate (no must,
+        msm=0) falls back to the live docs table as the candidate
+        universe — ES match_all semantics for filter-only bools."""
+        self._refresh_if_stale()
+        must, should = list(must), list(should)
+        filter_, must_not = list(filter_), list(must_not)
+        msm = self._resolve_msm(minimum_should_match, must, filter_)
+        m = len(must)
+        parts = []
+        for q in must:
+            p = self.score_plan(q, method)
+            if p is None:  # a must clause that can match nothing
+                return self._empty_scored_plan()
+            parts.append(p.select(
+                "doc_id", "score",
+                F.lit(1).alias("nm"), F.lit(0).alias("ns"),
+            ))
+        live_should = 0
+        for q in should:
+            p = self.score_plan(q, method)
+            if p is not None:
+                parts.append(p.select(
+                    "doc_id", "score",
+                    F.lit(0).alias("nm"), F.lit(1).alias("ns"),
+                ))
+                live_should += 1
+        if msm > live_should:  # unsatisfiable should gate
+            return self._empty_scored_plan()
+        if must or msm > 0:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            base = (
+                u.groupBy("doc_id")
+                .agg(
+                    F.sum("score").alias("score"),
+                    F.sum("nm").alias("nm"),
+                    F.sum("ns").alias("ns"),
+                )
+                .filter((F.col("nm") == m) & (F.col("ns") >= msm))
+                .select("doc_id", "score")
+            )
+        else:
+            # no scoring gate: candidate universe is every live doc
+            base = self._docs.select("doc_id")
+            if parts:  # optional should scores (msm=0)
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                sc = u.groupBy("doc_id").agg(F.sum("score").alias("s_sh"))
+                base = base.join(sc, "doc_id", "left").select(
+                    "doc_id", F.coalesce("s_sh", F.lit(0.0)).alias("score")
+                )
+            else:
+                base = base.withColumn("score", F.lit(0.0))
+        for q in filter_:
+            fd = self._filter_context_docs_plan(q)
+            if fd is None:
+                return self._empty_scored_plan()
+            base = base.join(fd, "doc_id", "semi")
+        for q in must_not:
+            nd = self._filter_context_docs_plan(q)
+            if nd is not None:
+                base = base.join(nd, "doc_id", "left_anti")
+        return base
+
+    def _turbo_bool(self, must, should, filter_, must_not, msm: int,
+                    k: int, method: str,
+                    want_total: bool) -> Optional[dict]:
+        """Driver-side bool twin: ONE pruned point read over the union
+        of every clause's terms, per-clause numpy accumulation, then
+        vectorized (n_must, n_should, membership) gating over the
+        combined doc universe.  Result-identical to the plan path."""
+        if not self.turbo:
+            return None
+        import numpy as np
+        from collections import Counter
+
+        must_t = [self._terms(q) for q in must]
+        should_t = [self._terms(q) for q in should]
+        filt_t = [self._terms(q) for q in filter_]
+        not_t = [self._terms(q) for q in must_not]
+        all_terms = sorted(
+            {t for c in must_t + should_t + filt_t + not_t for t in c}
+        )
+        idf_map = self.term_idf(all_terms)  # also populates _df_cache
+        scoring_live = {
+            t
+            for c in must_t + should_t
+            for t in c
+            if idf_map.get(t, 0.0) != 0.0
+        }
+        member_live = {
+            t for c in filt_t + not_t for t in c
+            if self._df_cache.get(t, 0) > 0
+        }
+        read_terms = sorted(scoring_live | member_live)
+        if (
+            sum(self._df_cache.get(t, 0) for t in read_terms)
+            > self.TURBO_MAX_POSTINGS
+        ):
+            return None
+        universe = None
+        if not must_t and msm == 0:
+            # candidate universe = all live docs (filter-only bool)
+            try:
+                universe = self._doc_universe()
+            except Exception:
+                return None
+        if read_terms:
+            try:
+                term_a, doc, tf, dl = self._postings_point_read(read_terms)
+            except Exception:
+                return None
+        else:
+            term_a = np.array([], dtype=object)
+            doc = np.array([], dtype=np.int64)
+            tf = dl = np.array([], dtype=np.int64)
+        # membership slices keep dl==0 rows (filter context); scoring
+        # drops them (reference semantics) via per-row impact of 0
+        tf_f = tf.astype(np.float64)
+        dl_f = dl.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if method == "bm25":
+                k1, b = self.k1, self.b
+                impact = (tf_f * (k1 + 1)) / (
+                    tf_f + k1 * (1 - b + b * (dl_f / self.avg_doc_len))
+                )
+            elif method == "tfidf":
+                impact = tf_f / dl_f
+            else:
+                raise ValueError(f"unknown scoring method {method!r}")
+        impact = np.where(dl > 0, impact, 0.0)
+        order = np.argsort(term_a, kind="stable")
+        term_s, doc_s, imp_s = term_a[order], doc[order], impact[order]
+        dl_s = dl[order]
+        bounds: Dict[str, tuple] = {}
+        if term_s.size:
+            change = np.nonzero(term_s[1:] != term_s[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [term_s.size]))
+            for s, e in zip(starts, ends):
+                bounds[term_s[s]] = (s, e)
+
+        def accum(terms):
+            """(docs_u, scores) of one scoring clause; None = dead."""
+            segs_d, segs_s = [], []
+            for t, mult in Counter(terms).items():
+                w = idf_map.get(t, 0.0)
+                if w == 0.0 or t not in bounds:
+                    continue
+                s, e = bounds[t]
+                keep = dl_s[s:e] > 0
+                segs_d.append(doc_s[s:e][keep])
+                segs_s.append((w * float(mult)) * imp_s[s:e][keep])
+            if not segs_d:
+                return None
+            d_all = np.concatenate(segs_d)
+            du, inv = np.unique(d_all, return_inverse=True)
+            return du, np.bincount(inv, weights=np.concatenate(segs_s))
+
+        def member(terms):
+            """Sorted unique docs containing ANY live term (filter
+            context — no idf/doc_len gating)."""
+            segs = [
+                doc_s[bounds[t][0]:bounds[t][1]]
+                for t in set(terms)
+                if t in bounds
+            ]
+            if not segs:
+                return np.array([], dtype=np.int64)
+            return np.unique(np.concatenate(segs))
+
+        def empty():
+            return {
+                "query": None,
+                "total_hits": 0 if want_total else None,
+                "results": [],
+            }
+
+        must_acc = []
+        for c in must_t:
+            a = accum(c)
+            if a is None:
+                return empty()
+            must_acc.append(a)
+        should_acc = [a for a in (accum(c) for c in should_t) if a is not None]
+        if msm > len(should_acc):
+            return empty()
+        if universe is None:
+            segs = [a[0] for a in must_acc + should_acc]
+            if not segs:
+                return empty()
+            U = np.unique(np.concatenate(segs))
+        else:
+            U = universe
+        score = np.zeros(U.size, dtype=np.float64)
+        nm = np.zeros(U.size, dtype=np.int64)
+        ns = np.zeros(U.size, dtype=np.int64)
+
+        def add(acc, flag):
+            du, sc = acc
+            pos = np.searchsorted(du, U)
+            pos_c = np.minimum(pos, du.size - 1)
+            hit = (pos < du.size) & (du[pos_c] == U)
+            score[hit] += sc[pos_c[hit]]
+            flag[hit] += 1
+
+        for a in must_acc:
+            add(a, nm)
+        for a in should_acc:
+            add(a, ns)
+        keep = (nm == len(must_acc)) & (ns >= msm)
+        for c in filt_t:
+            fd = member(c)
+            keep &= np.isin(U, fd, assume_unique=True)
+        for c in not_t:
+            nd = member(c)
+            if nd.size:
+                keep &= ~np.isin(U, nd, assume_unique=True)
+        docs_u, scores = U[keep], score[keep]
+        top = np.lexsort((docs_u, -scores))[:k]
+        return {
+            "query": None,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])}
+                for i in top
+            ],
+        }
+
+    def bool_search(self, must: Sequence[str] = (),
+                    should: Sequence[str] = (),
+                    filter_: Sequence[str] = (),
+                    must_not: Sequence[str] = (),
+                    minimum_should_match: Optional[int] = None,
+                    k: int = 10, method: str = "bm25",
+                    with_total_hits: bool = True) -> dict:
+        """ES ``bool`` query in the reference result shape (see
+        :meth:`bool_plan` for semantics).  Small slices are served by
+        the driver-side twin; the distributed plan carries total_hits
+        on the top-k job via Observation."""
+        self._refresh_if_stale()
+        must, should = list(must), list(should)
+        filter_, must_not = list(filter_), list(must_not)
+        msm = self._resolve_msm(minimum_should_match, must, filter_)
+        label = " AND ".join(
+            ["+" + q for q in must]
+            + list(should)
+            + ["#" + q for q in filter_]
+            + ["-" + q for q in must_not]
+        )
+        res = self._turbo_bool(must, should, filter_, must_not, msm, k,
+                               method, with_total_hits)
+        if res is not None:
+            res["query"] = label
+            return res
+        plan = self.bool_plan(must, should, filter_, must_not, msm, method)
+        if not with_total_hits:
+            with self._interactive():
+                top = (
+                    plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .limit(k)
+                    .collect()
+                )
+            return {
+                "query": label,
+                "total_hits": None,
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+                ],
+            }
+        obs = Observation()
+        with self._interactive():
+            top = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"])
+        return {
+            "query": label,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+            ],
+        }
 
     def match_plan(self, terms: Sequence[str]) -> DataFrame:
         """Distinct (doc_id, doc_len) matching ANY of the analyzed

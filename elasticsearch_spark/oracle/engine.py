@@ -107,6 +107,72 @@ class OracleIndex:
             "results": [{"doc_id": d, "score": s} for d, s in ranked],
         }
 
+    # ---------------------------------------------------------- bool (ES)
+    def bool_search(self, must: Sequence[str] = (),
+                    should: Sequence[str] = (),
+                    filter_: Sequence[str] = (),
+                    must_not: Sequence[str] = (),
+                    minimum_should_match=None, k: int = 10,
+                    method: str = "bm25",
+                    pretokenized_query: bool = False) -> dict:
+        """ES ``bool`` semantics oracle (operators/query.py
+        ``bool_plan``): must clauses all match and sum their scores,
+        should clauses add when matched (gated by msm — ES default 1
+        iff no must and no filter), filter/must_not are non-scoring
+        live-membership context.  Independent dict/set implementation
+        the Spark plan + turbo tiers must both equal."""
+        must, should = list(must), list(should)
+        filter_, must_not = list(filter_), list(must_not)
+        msm = (int(minimum_should_match)
+               if minimum_should_match is not None
+               else (1 if not must and not filter_ else 0))
+
+        def terms_of(q):
+            return q.split() if pretokenized_query else preprocess_query(q)
+
+        def match_set(q):
+            out = set()
+            for t in terms_of(q):
+                out |= {d for d, _tf in self.postings.get(t, ())}
+            return out
+
+        def empty():
+            return {"total_hits": 0, "results": []}
+
+        score: Dict[int, float] = {}
+        nm: Dict[int, int] = {}
+        ns: Dict[int, int] = {}
+        for q in must:
+            sc = self.score_all(q, method, pretokenized_query)
+            if not sc:
+                return empty()
+            for d, s in sc.items():
+                score[d] = score.get(d, 0.0) + s
+                nm[d] = nm.get(d, 0) + 1
+        for q in should:
+            for d, s in self.score_all(q, method, pretokenized_query).items():
+                score[d] = score.get(d, 0.0) + s
+                ns[d] = ns.get(d, 0) + 1
+        if must or msm > 0:
+            docs = {
+                d: score[d]
+                for d in score
+                if nm.get(d, 0) == len(must) and ns.get(d, 0) >= msm
+            }
+        else:
+            docs = {d: score.get(d, 0.0) for d in self.all_docs}
+        for q in filter_:
+            fs = match_set(q)
+            docs = {d: s for d, s in docs.items() if d in fs}
+        for q in must_not:
+            ex = match_set(q)
+            docs = {d: s for d, s in docs.items() if d not in ex}
+        ranked = sorted(docs.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return {
+            "total_hits": len(docs),
+            "results": [{"doc_id": d, "score": s} for d, s in ranked],
+        }
+
     # ------------------------------------------------------------- phrase
     def phrase_query(self, phrase: str, pretokenized_query: bool = False
                      ) -> Dict[int, List[int]]:

@@ -1064,6 +1064,138 @@ def engine_wildcard_topk(spark, sf_dir):
 
 
 @register(
+    "engine_regexp_topk",
+    _expansion_bm25_sql("regexp_full_match(term, 'h[a-z]sh')"),
+)
+def engine_regexp_topk(spark, sf_dir):
+    """ES ``regexp`` query served from the real index: the anchored
+    pattern expands against the live dictionary (literal-prefix 'h'
+    range scan + full-match), then the distributed multi-term scoring
+    plan.  DuckDB ``regexp_full_match`` is the oracle for the same
+    anchoring."""
+    eng = _engine(spark, sf_dir)
+    terms = eng.regexp_expand("h[a-z]sh")
+    plan = eng.score_plan("/h[a-z]sh/", terms=terms) if terms else None
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+# -------------------------------------------------- bool query DSL (ES)
+
+def _bool_sql(must, should, filter_, must_not, msm: int, k: int = 10) -> str:
+    """ES ``bool`` oracle: per-clause BM25 sums (scoring context, idf≠0
+    terms), one per-doc aggregate gated on (all must matched, ≥msm
+    should matched), then raw-membership filter/must_not predicates —
+    exactly operators/query.py ``bool_plan``.  Clauses are term
+    lists (the gate corpus is pretokenized)."""
+    scoring = [sorted(c) for c in list(must) + list(should)]
+    all_terms = sorted({t for c in scoring for t in c})
+    expr = (
+        f"idf.idf * ((tf.tf * ({K1} + 1)) / "
+        f"(tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))"
+    )
+    subs, unions = [], []
+    for i, c in enumerate(scoring):
+        is_must = i < len(must)
+        subs.append(
+            f"""c{i} AS (SELECT tf.doc_id, sum({expr}) AS s
+  FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.doc_id = dl.doc_id, corpus
+  WHERE idf.idf <> 0 AND tf.term IN ({_sql_terms(c)})
+  GROUP BY tf.doc_id)"""
+        )
+        unions.append(
+            f"SELECT doc_id, s, {1 if is_must else 0} AS nm, "
+            f"{0 if is_must else 1} AS ns FROM c{i}"
+        )
+    conds = [f"nm = {len(list(must))}", f"ns >= {msm}"]
+    for c in filter_:
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM tok WHERE term IN ({_sql_terms(sorted(c))}))"
+        )
+    for c in must_not:
+        conds.append(
+            f"doc_id NOT IN (SELECT doc_id FROM tok WHERE term IN ({_sql_terms(sorted(c))}))"
+        )
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(all_terms)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+{",".join(subs)},
+cl AS ({" UNION ALL ".join(unions)}),
+agg AS (SELECT doc_id, sum(s) AS score, sum(nm) AS nm, sum(ns) AS ns
+        FROM cl GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM agg
+WHERE {" AND ".join(conds)}
+ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "engine_bool_must_should",
+    _bool_sql([["spark"]], [["merge", "window"], ["dup"]], [], [], msm=0),
+)
+def engine_bool_must_should(spark, sf_dir):
+    """ES ``bool``: one required match clause plus two optional should
+    clauses (msm 0 — must present) whose scores add when matched.  One
+    doc_id shuffle combines the three bucket-pruned clause plans."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.bool_plan(must=["spark"], should=["merge window", "dup"])
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_bool_msm",
+    _bool_sql([], [["spark"], ["merge"], ["window"]], [], [], msm=2),
+)
+def engine_bool_msm(spark, sf_dir):
+    """ES ``bool`` with ``minimum_should_match=2`` over three should
+    clauses: docs matching at least two clauses, scored by the sum of
+    their matched clauses."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.bool_plan(
+        should=["spark", "merge", "window"], minimum_should_match=2
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_bool_filter_must_not",
+    _bool_sql([["spark", "dup"]], [], [["merge"]], [["window"]], msm=0),
+)
+def engine_bool_filter_must_not(spark, sf_dir):
+    """ES ``bool`` with all four contexts minus should: scored must
+    clause, non-scoring filter (semi join) and must_not (anti join) —
+    filter context is raw live membership, no idf."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.bool_plan(
+        must=["spark dup"], filter_=["merge"], must_not=["window"]
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_bool_filter_only",
+    f"""WITH {_TOK_CTE}
+SELECT doc_id, 0.0::DOUBLE AS score_r FROM dl
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark')
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'dup')
+ORDER BY doc_id LIMIT 20""",
+)
+def engine_bool_filter_only(spark, sf_dir):
+    """Filter-only ES ``bool`` (no scoring clause): candidate universe
+    is the live docs table (ES match_all semantics), every hit scores
+    0 — the shape of a pure attribute filter at scale."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.bool_plan(filter_=["spark"], must_not=["dup"])
+    return (
+        plan.select("doc_id", F.round("score", 6).alias("score_r"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "engine_suggest_term",
     f"""WITH {_TOK_CTE},
 dfall AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)

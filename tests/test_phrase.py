@@ -303,13 +303,27 @@ def test_sloppy_starts_hand_cases():
 
 
 SLOPPY_CASES = [
-    ("machine learning", 1),
-    ("machine learning", 3),
-    ("machine studies", 2),   # gap phrase only matchable with slop
-    ("learning machine", 2),  # reversed order: ordered slop finds real
-    ("sparkhead learning", 5),
-    ("machine machine", 2),   # repeated term, strictly increasing chain
+    # live webtext vocabulary with heavy proximity co-occurrence
+    # (faducafib/pu/gahabutew head terms; ~350 matching docs each at
+    # slop 2) so parity is over real matches, not empty sets
+    ("pu faducafib", 1),
+    ("pu faducafib", 3),
+    ("zo sazo", 2),
+    ("gahabutew pu", 2),
+    ("faducafib gahabutew pu", 4),       # 3-term chain
+    ("sparkhead sparkhead", 2),          # repeated term, increasing chain
+    ("machine learning", 1),             # dead phrase: parity on empty set
 ]
+
+
+def test_sloppy_cases_have_matches(oracle_index):
+    """Guard against vacuous parity: the main sloppy cases must match
+    real docs in the oracle."""
+    hits = [
+        len(oracle_index.sloppy_phrase_query(p, s))
+        for p, s in SLOPPY_CASES[:4]
+    ]
+    assert all(h > 0 for h in hits), hits
 
 
 @pytest.mark.parametrize("phrase,slop", SLOPPY_CASES)

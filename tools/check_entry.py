@@ -56,9 +56,11 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -95,7 +97,7 @@ def main():
         else:
             print(f"PASS  {name:26s} rows={len(srows)} {time.time()-t0:.1f}s")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     if failures:
         sys.exit(1)
 
