@@ -2152,6 +2152,112 @@ class QueryEngine:
             .select(col, "rank", on, "score_r")
         )
 
+    def collapse_plan(self, query: str, dims: DataFrame,
+                      col: str = "source", method: str = "bm25",
+                      on: str = "doc_id") -> Optional[DataFrame]:
+        """ES field collapsing: the hit list keeps only the BEST-scoring
+        doc per ``col`` value (the group representative), globally
+        ranked by that score.  Score plan ⋈ dims, then a window
+        partitioned by the collapse key — groups rank in parallel, no
+        global sort exists until the caller's bounded top-k.  Ordering
+        uses the engine-wide deterministic (6-dp rounded score desc,
+        doc_id asc) tie-break.  None when no query term is live."""
+        from pyspark.sql import Window
+
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return None
+        scored = plan.join(dims, on).withColumn(
+            "score_r", F.round("score", 6)
+        )
+        w = Window.partitionBy(col).orderBy(
+            F.col("score_r").desc(), F.col(on).asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(on, col, "score_r")
+        )
+
+    def rescore_plan(self, query: str, rescore_query: str,
+                     window_size: int = 50, query_weight: float = 1.0,
+                     rescore_weight: float = 1.0,
+                     method: str = "bm25") -> Optional[DataFrame]:
+        """ES ``rescore``: re-rank only the top ``window_size`` hits of
+        the cheap first pass with a second scorer — final = qw·orig +
+        rw·secondary (ES ``score_mode: total``; docs outside the window
+        never rescore).  The bounded window is broadcast into the join
+        against the secondary score plan, so the second pass scans only
+        its own pruned postings and the shuffle is window-sized.  Window
+        selection uses the deterministic rounded ordering.  None when
+        the first-pass query has no live term."""
+        first = self.score_plan(query, method)
+        if first is None:
+            return None
+        window = (
+            first.select("doc_id", F.round("score", 6).alias("s1"))
+            .orderBy(F.col("s1").desc(), F.col("doc_id").asc())
+            .limit(int(window_size))
+        )
+        sec = self.score_plan(rescore_query, method)
+        if sec is not None:
+            window = F.broadcast(window).join(
+                sec.select("doc_id", F.round("score", 6).alias("s2")),
+                "doc_id", "left",
+            )
+        else:
+            window = window.withColumn("s2", F.lit(None).cast("double"))
+        return window.select(
+            "doc_id",
+            (
+                F.lit(float(query_weight)) * F.col("s1")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("s2"), F.lit(0.0))
+            ).alias("score"),
+        )
+
+    def function_score_plan(self, query: str, dims: DataFrame,
+                            field: str, modifier: str = "none",
+                            factor: float = 1.0,
+                            boost_mode: str = "multiply",
+                            missing: float = 1.0,
+                            method: str = "bm25",
+                            on: str = "doc_id") -> Optional[DataFrame]:
+        """ES ``function_score`` with ``field_value_factor``: the query
+        score combines with a per-doc function of an external numeric
+        attribute — fval = modifier(factor · field) with ES's modifier
+        set (none / log1p base-10 / ln1p / sqrt / square), combined by
+        ``boost_mode`` multiply or sum.  Attributes stay in their own
+        table (left join; ``missing`` substitutes for absent rows, the
+        ES parameter of the same name)."""
+        plan = self.score_plan(query, method)
+        if plan is None:
+            return None
+        j = plan.join(dims.select(on, field), on, "left")
+        val = (
+            F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
+            * F.lit(float(factor))
+        )
+        if modifier == "none":
+            fval = val
+        elif modifier == "log1p":  # ES log modifiers are base-10
+            fval = F.log10(val + F.lit(1.0))
+        elif modifier == "ln1p":
+            fval = F.log(val + F.lit(1.0))
+        elif modifier == "sqrt":
+            fval = F.sqrt(val)
+        elif modifier == "square":
+            fval = val * val
+        else:
+            raise ValueError(f"unknown modifier {modifier!r}")
+        if boost_mode == "multiply":
+            score = F.col("score") * fval
+        elif boost_mode == "sum":
+            score = F.col("score") + fval
+        else:
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        return j.select(on, score.alias("score"))
+
     # ------------------------------------------------------ more-like-this
     def mlt_terms(self, doc_id: int, max_query_terms: int = 25) -> List[str]:
         """ES more_like_this term selection: the source doc's terms

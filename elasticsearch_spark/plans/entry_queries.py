@@ -1131,6 +1131,101 @@ WHERE {" AND ".join(conds)}
 ORDER BY round(score, 6) DESC, doc_id LIMIT {k}"""
 
 
+def _scored_cte(terms, p: str = "") -> str:
+    """CTE chain ``tf{p}/df{p}/idf{p}/scored{p}`` producing per-doc BM25
+    sums for one term set (assumes ``{_TOK_CTE}`` is already in scope)."""
+    expr = (
+        f"idf{p}.idf * ((tf{p}.tf * ({K1} + 1)) / "
+        f"(tf{p}.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))"
+    )
+    return f"""tf{p} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(sorted(terms))}) GROUP BY term, doc_id),
+df{p} AS (SELECT term, count(*)::BIGINT AS df FROM tf{p} GROUP BY term),
+idf{p} AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df{p}.df + 1)::DOUBLE) AS idf
+           FROM df{p}, corpus),
+scored{p} AS (SELECT tf{p}.doc_id, sum({expr}) AS score
+           FROM tf{p} JOIN idf{p} ON tf{p}.term = idf{p}.term
+                   JOIN dl ON tf{p}.doc_id = dl.doc_id, corpus
+           WHERE idf{p}.idf <> 0
+           GROUP BY tf{p}.doc_id)"""
+
+
+@register(
+    "engine_collapse_topk",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS)},
+ranked AS (SELECT s.doc_id, d.source, round(s.score, 6) AS score_r,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY round(s.score, 6) DESC, s.doc_id) AS rn
+           FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, source, score_r FROM ranked WHERE rn = 1
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_collapse_topk(spark, sf_dir):
+    """ES field collapsing: one best-scoring doc per ``source`` value,
+    the representatives globally ranked — per-key window (parallel, no
+    global sort) then a bounded top-k."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir, lang=None).select("doc_id", "source")
+    plan = eng.collapse_plan(" ".join(Q1_TERMS), dims, col="source")
+    if plan is None:
+        return _docs(spark, sf_dir).select(
+            "doc_id", "source", F.lit(0.0).alias("score_r")
+        ).limit(0)
+    return plan.orderBy(F.col("score_r").desc(), F.col("doc_id")).limit(10)
+
+
+@register(
+    "engine_rescore_topk",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS, "1")},
+{_scored_cte(["hash", "join"], "2")},
+win AS (SELECT doc_id, round(score, 6) AS s1 FROM scored1
+        ORDER BY s1 DESC, doc_id LIMIT 30),
+final AS (SELECT w.doc_id,
+                 1.0 * w.s1 + 2.0 * coalesce(round(s2.score, 6), 0) AS score
+          FROM win w LEFT JOIN scored2 s2 USING (doc_id))
+SELECT doc_id, round(score, 6) AS score_r FROM final
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_rescore_topk(spark, sf_dir):
+    """ES ``rescore``: the top-30 window of the cheap first pass
+    re-ranked by qw·orig + rw·secondary (score_mode total) — the
+    bounded window broadcasts into the secondary join, docs outside it
+    never rescore."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.rescore_plan(
+        " ".join(Q1_TERMS), "hash join", window_size=30,
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_function_score",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS)}
+SELECT s.doc_id, round(s.score * ln(0.1 * d.n_chars + 1), 6) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_function_score(spark, sf_dir):
+    """ES ``function_score`` / field_value_factor: BM25 × ln1p(0.1 ·
+    n_chars) — the external numeric attribute joins in from its own
+    table, scores combine multiplicatively."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir, lang=None).select("doc_id", "n_chars")
+    plan = eng.function_score_plan(
+        " ".join(Q1_TERMS), dims, field="n_chars", modifier="ln1p",
+        factor=0.1, boost_mode="multiply",
+    )
+    if plan is None:
+        return _docs(spark, sf_dir).select("doc_id", F.lit(0.0).alias("score_r")).limit(0)
+    return _topk(plan, 10)
+
+
 @register(
     "engine_bool_must_should",
     _bool_sql([["spark"]], [["merge", "window"], ["dup"]], [], [], msm=0),

@@ -213,3 +213,136 @@ def test_regexp_ranked_equals_terms_bypass(turbo):
         r["doc_id"] for r in want["results"]
     ]
     assert got["total_hits"] == want["total_hits"]
+
+
+# ----------------------------- collapse / rescore / function_score (ES)
+
+@pytest.fixture(scope="module")
+def dims(spark, index_dir):
+    """External attribute table: collapse key (url-hash group) and a
+    numeric field (doc_len), one row per live doc."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.operators.reader import live_docs
+
+    return live_docs(spark, index_dir).select(
+        "doc_id",
+        (F.abs(F.hash("url")) % 4).alias("grp"),
+        F.col("doc_len").alias("val"),
+    ).cache()
+
+
+def test_collapse_one_per_key_and_best(plan_eng, dims):
+    rows = plan_eng.collapse_plan("zo ta", dims, col="grp").collect()
+    keys = [r["grp"] for r in rows]
+    assert len(keys) == len(set(keys)), "one representative per key"
+    # representative == argmax (score_r desc, doc_id asc) of its group
+    full = (
+        plan_eng.score_plan("zo ta")
+        .join(dims, "doc_id")
+        .selectExpr("doc_id", "grp", "round(score, 6) AS score_r")
+        .collect()
+    )
+    best = {}
+    for r in sorted(full, key=lambda r: (-r["score_r"], r["doc_id"])):
+        best.setdefault(r["grp"], (r["doc_id"], r["score_r"]))
+    assert {r["grp"]: (r["doc_id"], r["score_r"]) for r in rows} == best
+
+
+def test_rescore_zero_weight_is_first_pass_window(plan_eng):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in plan_eng.rescore_plan(
+            "zo ta", "sazo", window_size=15, rescore_weight=0.0
+        ).collect()
+    }
+    want_rows = (
+        plan_eng.score_plan("zo ta")
+        .selectExpr("doc_id", "round(score, 6) AS s1")
+        .collect()
+    )
+    want = {
+        r["doc_id"]: r["s1"]
+        for r in sorted(want_rows, key=lambda r: (-r["s1"], r["doc_id"]))[:15]
+    }
+    assert got == want
+
+
+def test_rescore_combines_secondary(plan_eng):
+    rows = plan_eng.rescore_plan(
+        "zo ta", "sazo", window_size=10, query_weight=0.5, rescore_weight=2.0
+    ).collect()
+    assert 0 < len(rows) <= 10
+    s1 = {
+        r["doc_id"]: r["s1"]
+        for r in plan_eng.score_plan("zo ta")
+        .selectExpr("doc_id", "round(score, 6) AS s1").collect()
+    }
+    s2 = {
+        r["doc_id"]: r["s2"]
+        for r in plan_eng.score_plan("sazo")
+        .selectExpr("doc_id", "round(score, 6) AS s2").collect()
+    }
+    for r in rows:
+        want = 0.5 * s1[r["doc_id"]] + 2.0 * s2.get(r["doc_id"], 0.0)
+        assert abs(r["score"] - want) < 1e-9
+
+
+def test_rescore_dead_secondary_keeps_first_pass(plan_eng):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in plan_eng.rescore_plan(
+            "zo ta", "nonexistentterm", window_size=12
+        ).collect()
+    }
+    assert got and all(v >= 0 for v in got.values())
+
+
+@pytest.mark.parametrize("modifier,boost_mode", [
+    ("none", "multiply"), ("ln1p", "multiply"), ("log1p", "sum"),
+    ("sqrt", "multiply"), ("square", "sum"),
+])
+def test_function_score_formula(plan_eng, dims, modifier, boost_mode):
+    import math
+
+    rows = plan_eng.function_score_plan(
+        "zo ta", dims, field="val", modifier=modifier, factor=0.5,
+        boost_mode=boost_mode,
+    ).collect()
+    assert rows
+    base = {
+        r["doc_id"]: r["score"]
+        for r in plan_eng.score_plan("zo ta").collect()
+    }
+    vals = {r["doc_id"]: r["val"] for r in dims.collect()}
+    mod = {
+        "none": lambda x: x,
+        "ln1p": lambda x: math.log(1 + x),
+        "log1p": lambda x: math.log10(1 + x),
+        "sqrt": math.sqrt,
+        "square": lambda x: x * x,
+    }[modifier]
+    for r in rows:
+        fv = mod(0.5 * vals[r["doc_id"]])
+        want = base[r["doc_id"]] * fv if boost_mode == "multiply" \
+            else base[r["doc_id"]] + fv
+        assert abs(r["score"] - want) < 1e-9
+
+
+def test_function_score_missing_substitutes(spark, plan_eng, dims):
+    """Docs absent from the attribute table score with the ``missing``
+    value (ES parameter) instead of dropping out."""
+    some = dims.limit(3)
+    rows = plan_eng.function_score_plan(
+        "zo ta", some, field="val", modifier="none", factor=1.0,
+        boost_mode="multiply", missing=7.0,
+    ).collect()
+    present = {r["doc_id"] for r in some.collect()}
+    base = {
+        r["doc_id"]: r["score"]
+        for r in plan_eng.score_plan("zo ta").collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(base)
+    for r in rows:
+        if r["doc_id"] not in present:
+            assert abs(r["score"] - base[r["doc_id"]] * 7.0) < 1e-9
