@@ -631,6 +631,30 @@ class QueryEngine:
             | ((F.col("score") == sa_score) & (F.col("doc_id") > sa_doc))
         )
 
+    def scan(self, query: str, page_size: int = 100, method: str = "bm25",
+             terms: Optional[List[str]] = None):
+        """ES scroll / point-in-time analogue: iterate the ENTIRE hit
+        set in (score desc, doc_id asc) order as ``{doc_id, score}``
+        dicts, fetched in ``page_size`` pages via :meth:`search_after
+        <ranked>` keyset cursors — every page is one bounded top-k job
+        (never an OFFSET scan-and-discard), so deep iteration costs
+        O(pages · top-k), not O(n²).  Unlike ES scroll there is no
+        server-side context to expire; the cursor is the last row's
+        exact sort key."""
+        cursor = None
+        while True:
+            res = self.ranked(
+                query, k=page_size, method=method, with_total_hits=False,
+                terms=terms, search_after=cursor,
+            )
+            rows = res["results"]
+            if not rows:
+                return
+            yield from rows
+            if len(rows) < page_size:
+                return
+            cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+
     def topk_df(self, query: str, k: int = 10, method: str = "bm25") -> DataFrame:
         """Top-k as a DataFrame (for the driver correctness harness)."""
         plan = self.score_plan(query, method)
@@ -2089,6 +2113,27 @@ class QueryEngine:
                 F.stddev_pop("doc_len").cast("double").alias("std_len"),
             ]
         return self.match_plan(terms).agg(*aggs)
+
+    def percentiles_doc_len(self, terms: Sequence[str],
+                            percentiles: Sequence[float] = (25, 50, 75, 95),
+                            exact: bool = True) -> DataFrame:
+        """ES ``percentiles`` aggregation over the hit set's
+        ``doc_len``.  ``exact=True`` is the linear-interpolation exact
+        percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` —
+        the hash-comparable oracle twin); ``exact=False`` is
+        ``percentile_approx`` — the bounded-memory sketch that is the
+        100-TB path, exactly as ES serves t-digest approximations
+        (pytest bounds it against the exact twin).  One pruned scan,
+        one partial-agg shuffle to a single row."""
+        fracs = "array(" + ",".join(str(p / 100.0) for p in percentiles) + ")"
+        fn = "percentile" if exact else "percentile_approx"
+        agg = F.expr(f"{fn}(doc_len, {fracs})").alias("qs")
+        row = self.match_plan(terms).agg(agg)
+        cols = [
+            F.col("qs")[i].cast("double").alias(f"p{str(p).replace('.', '_')}")
+            for i, p in enumerate(percentiles)
+        ]
+        return row.select(*cols)
 
     def range_facet_doc_len(self, terms: Sequence[str],
                             edges: Sequence[int]) -> DataFrame:

@@ -1442,6 +1442,30 @@ def agg_range_doc_len(spark, sf_dir):
 
 
 @register(
+    "agg_percentiles_doc_len",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT tok.doc_id, dl.doc_len FROM tok
+         JOIN dl ON tok.doc_id = dl.doc_id
+         WHERE tok.term IN ({_sql_terms(Q1_TERMS)}))
+SELECT round(quantile_cont(doc_len, 0.25), 6) AS p25_r,
+       round(quantile_cont(doc_len, 0.50), 6) AS p50_r,
+       round(quantile_cont(doc_len, 0.75), 6) AS p75_r,
+       round(quantile_cont(doc_len, 0.95), 6) AS p95_r
+FROM hits""",
+)
+def agg_percentiles_doc_len(spark, sf_dir):
+    """ES ``percentiles`` aggregation over the hit set's doc_len —
+    exact linear-interpolation twin (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``); the ``percentile_approx`` sketch is the 100-TB
+    serving path, pytest-bounded against this."""
+    eng = _engine(spark, sf_dir)
+    df = eng.percentiles_doc_len(Q1_TERMS, (25, 50, 75, 95), exact=True)
+    return df.select(
+        *[F.round(c, 6).alias(c + "_r") for c in ["p25", "p50", "p75", "p95"]]
+    )
+
+
+@register(
     "agg_cardinality_source",
     f"""WITH {_TOK_CTE},
 hits AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_sql_terms(Q1_TERMS)}))

@@ -467,3 +467,73 @@ def test_facet_counts_external_dim(spark, engine):
 
     want_c = Counter(str(i % 4) for i in hit_ids)
     assert got == {(s, n) for s, n in want_c.items()} and got
+
+
+
+
+def _mid_terms(spark, engine, n=2):
+    """Live terms with 5 < df < doc_count (idf != 0 so they score)."""
+    rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df").collect()
+    )
+    n_docs = engine.stats["doc_count"]
+    picks = [
+        t for t, d in sorted(
+            ((r["term"], r["df"]) for r in rows), key=lambda x: (-x[1], x[0])
+        )
+        if 5 < d < n_docs
+    ]
+    return picks[:n]
+
+
+# ----------------------------------------- percentiles aggregation (ES)
+
+def test_percentiles_exact_matches_numpy(spark, engine):
+    """Exact percentile (linear interpolation) over the hit set's
+    doc_len must equal numpy's recompute."""
+    import numpy as np
+
+    terms = _mid_terms(spark, engine)
+    row = engine.percentiles_doc_len(terms, (25, 50, 75, 95)).first()
+    lens = np.array(
+        [r["doc_len"] for r in engine.match_plan(terms).collect()]
+    )
+    for p in (25, 50, 75, 95):
+        want = float(np.percentile(lens, p))  # linear interpolation
+        assert abs(row[f"p{p}"] - want) < 1e-6, p
+
+
+def test_percentiles_approx_bounded_by_exact(spark, engine):
+    """percentile_approx (the bounded-memory 100-TB path) must stay
+    within the hit set's range and close to the exact twin."""
+    terms = _mid_terms(spark, engine)
+    exact = engine.percentiles_doc_len(terms, (50, 95), exact=True).first()
+    approx = engine.percentiles_doc_len(terms, (50, 95), exact=False).first()
+    stats = engine.stats_doc_len(terms).first()
+    for p in (50, 95):
+        assert stats["min_len"] <= approx[f"p{p}"] <= stats["max_len"]
+        # default accuracy is tight at pytest scale
+        assert abs(approx[f"p{p}"] - exact[f"p{p}"]) <= max(
+            2.0, 0.05 * exact[f"p{p}"]
+        )
+
+
+# ----------------------------------------------- scroll / scan-all (ES)
+
+def test_scan_pages_equal_full_ranking(spark, engine):
+    """Concatenated keyset pages == the full (score desc, doc_id asc)
+    ranking, no duplicates, no gaps — at an odd page size that doesn't
+    divide the hit count."""
+    terms = _mid_terms(spark, engine)
+    q = " ".join(terms)
+    got = list(engine.scan(q, page_size=7))
+    n = engine.ranked(q, k=1)["total_hits"]
+    assert len(got) == n > 7
+    assert len({r["doc_id"] for r in got}) == n
+    want = engine.ranked(q, k=n)["results"]
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_scan_empty_query(engine):
+    assert list(engine.scan("nonexistentterm", page_size=5)) == []
