@@ -90,6 +90,30 @@ def main():
     assert "SinglePartition" not in plan_str, "zipf_rank has a single-partition exchange"
     print("## OK: no SinglePartition exchange in zipf_rank")
 
+    print("=" * 70, "\n## bool query plan (expect per-clause pruned scans,")
+    print("## ONE doc_id aggregate, semi/anti joins for filter context)\n", "=" * 70)
+    t3 = stable[2] if len(stable) > 2 else t1
+    engine.bool_plan(
+        must=[t1], should=[t2], filter_=[t3], must_not=["zzznope"]
+    ).explain("formatted")
+
+    print("=" * 70, "\n## collapse plan (expect window PARTITIONED by the key —")
+    print("## hashpartitioning exchange, NO SinglePartition)\n", "=" * 70)
+    from elasticsearch_spark.operators.reader import live_docs
+
+    dims = live_docs(spark, idx).select(
+        "doc_id", (F.abs(F.hash("url")) % 4).alias("grp")
+    )
+    col_df = engine.collapse_plan(f"{t1} {t2}", dims, col="grp")
+    col_df.explain("formatted")
+    col_plan = col_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in col_plan, "collapse has a single-partition exchange"
+    print("## OK: no SinglePartition exchange in collapse")
+
+    print("=" * 70, "\n## rescore plan (expect BroadcastHashJoin: the bounded")
+    print("## window broadcasts into the secondary score join)\n", "=" * 70)
+    engine.rescore_plan(t1, t2, window_size=20).explain("formatted")
+
     print("=" * 70, "\n## WAND phase-0 metadata scan (expect blob columns absent")
     print("## from ReadSchema)\n", "=" * 70)
     from pyspark.sql import functions as F
