@@ -225,11 +225,15 @@ def dims(spark, index_dir):
 
     from elasticsearch_spark.operators.reader import live_docs
 
-    return live_docs(spark, index_dir).select(
+    df = live_docs(spark, index_dir).select(
         "doc_id",
         (F.abs(F.hash("url")) % 4).alias("grp"),
         F.col("doc_len").alias("val"),
     ).cache()
+    yield df
+    # the shared session's cache must stay empty across modules
+    # (test_update_hardening asserts it)
+    df.unpersist()
 
 
 def test_collapse_one_per_key_and_best(plan_eng, dims):
