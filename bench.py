@@ -87,7 +87,9 @@ def ensure_corpus(n_docs: int) -> str:
     # query returns an empty set and the "latency" measured is just the
     # dictionary-lookup job (the r01 numbers had this flaw).  `qv` in
     # the cache name invalidates the old vocab-free corpora.
-    path = f"/tmp/es_spark_bench_corpus_qv_{n_docs}.parquet"
+    # `mf` (multi-file): the corpus is a 32-part parquet directory so
+    # scan parallelism is never capped by file splittability
+    path = f"/tmp/es_spark_bench_corpus_qv_mf_{n_docs}.parquet"
     if not os.path.exists(path):
         t0 = time.time()
         pool = query_vocab(os.path.join(REPO, "fixtures", "queryset.json"))

