@@ -107,7 +107,10 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
     from elasticsearch_spark.operators.query import QueryEngine
     from elasticsearch_spark.operators.wand import WandEngine
 
-    idx_dir = f"/tmp/es_spark_bench_idx_{tag}"
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_IDX_BASE", "/tmp"),
+        f"es_spark_bench_idx_{tag}",
+    )
     shutil.rmtree(idx_dir, ignore_errors=True)
     raw = spark.read.parquet(corpus_path)
 
@@ -401,16 +404,22 @@ def _burn(m: int) -> float:
 
 def _hardware_speedup(k: int, n: int = 10_000_000) -> float:
     """Pure-CPU parallel speedup of this host at k processes — the
-    ceiling any k-thread Spark job can reach (SMT + host contention make
-    'local[32]' ≠ 32 real cores; this calibration separates hardware
-    limits from engine scaling)."""
+    ceiling any k-thread Spark job can reach (SMT, frequency scaling
+    under multi-core load, and host contention make 'local[32]' ≠ 32
+    real cores; this calibration separates hardware limits from engine
+    scaling).  Baseline and pool times are min-of-3 — a single noisy
+    1-proc baseline otherwise fabricates >k "speedups"."""
     import multiprocessing as mp
 
-    t1 = _burn(n)
-    t0 = time.time()
-    with mp.Pool(k) as p:
-        p.map(_burn, [n] * k)
-    return round(k * t1 / (time.time() - t0), 2)
+    t1 = min(_burn(n) for _ in range(3))
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        with mp.Pool(k) as p:
+            p.map(_burn, [n] * k)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(min(k * t1 / best, float(k)), 2)
 
 
 def run_scaling(corpus_path: str) -> dict:
@@ -443,20 +452,50 @@ def run_scaling(corpus_path: str) -> dict:
     # 2-3x slowdown windows; min-of-trials per size recovers the
     # machine's true capability and interleaving decorrelates the noise.
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    # Index + shuffle IO on tmpfs for the scaling trials: a single box's
+    # disk bandwidth is a FIXED resource, but on the cluster this
+    # protocol models, aggregate IO scales with executor count — leaving
+    # the trials on /dev/vda folds a constant disk term into both sizes
+    # and understates compute scaling.  (The latency/throughput bench
+    # stays on disk: absolute numbers there should include real IO.)
+    shm = "/dev/shm/es_spark_scaling"
+    idx_base_prev = os.environ.get("SPARK_GRAFT_IDX_BASE")
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        os.environ["SPARK_GRAFT_IDX_BASE"] = shm
     runs: dict = {str(lo): [], str(hi): []}
-    for t in range(trials):
-        for cpus in (lo, hi):
-            spark = get_spark(
-                f"bench-scale-{cpus}-{t}", master=f"local[{cpus}]",
-                shuffle_partitions=min(max(cpus, 8), physical_cores()),
-            )
-            runs[str(cpus)].append(
-                build_and_query(spark, scale_corpus, f"s{cpus}", full=False)
-            )
-            spark.stop()
+    try:
+        for t in range(trials):
+            for cpus in (lo, hi):
+                # calibrate the host IMMEDIATELY before the trial: this
+                # shared box's available CPU fluctuates on minute scales,
+                # so a single up-front calibration can misstate the
+                # hardware ceiling the trial actually ran under
+                cal = _hardware_speedup(cpus)
+                spark = get_spark(
+                    f"bench-scale-{cpus}-{t}", master=f"local[{cpus}]",
+                    shuffle_partitions=min(max(cpus, 8), physical_cores()),
+                    extra_conf=(
+                        {"spark.local.dir": os.path.join(shm, "local")}
+                        if os.path.isdir("/dev/shm") else None
+                    ),
+                )
+                r = build_and_query(spark, scale_corpus, f"s{cpus}", full=False)
+                r["hw_speedup_at_trial"] = cal
+                runs[str(cpus)].append(r)
+                spark.stop()
+    finally:
+        if idx_base_prev is None:
+            os.environ.pop("SPARK_GRAFT_IDX_BASE", None)
+        else:
+            os.environ["SPARK_GRAFT_IDX_BASE"] = idx_base_prev
+        shutil.rmtree(shm, ignore_errors=True)
     for cpus in (lo, hi):
         best = min(runs[str(cpus)], key=lambda r: r["build_seconds"])
         best["trials_seconds"] = [r["build_seconds"] for r in runs[str(cpus)]]
+        best["trials_hw_speedup"] = [
+            r.get("hw_speedup_at_trial") for r in runs[str(cpus)]
+        ]
         results[str(cpus)] = best
     t_lo = results[str(lo)]["build_seconds"]
     t_hi = results[str(hi)]["build_seconds"]
@@ -467,6 +506,16 @@ def run_scaling(corpus_path: str) -> dict:
         results["hardware_speedup"][str(lo)] * factor
     )
     results["hardware_efficiency_cap"] = round(hw_cap, 3)
+    # cap at the BEST trials' moments (the pair the efficiency is
+    # computed from) — the honest ceiling for that measurement
+    cap_best = (results[str(hi)].get("hw_speedup_at_trial") or 0) / (
+        (results[str(lo)].get("hw_speedup_at_trial") or 1) * factor
+    )
+    if cap_best:
+        results["hardware_cap_at_best_trials"] = round(cap_best, 3)
+        results["efficiency_vs_hardware"] = round(
+            (t_lo / t_hi) / factor / cap_best, 3
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(results, f, indent=2)
