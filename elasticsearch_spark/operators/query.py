@@ -206,6 +206,14 @@ class QueryEngine:
         import numpy as np
 
         cache = self._term_postings_cache
+        # mark this call's cache hits most-recently-used BEFORE any
+        # eviction below: under a full cache the LRU pop could otherwise
+        # evict a term this very call is about to read (KeyError from
+        # unguarded callers like explain(); turbo callers would fall
+        # back to the distributed plan — perf loss either way)
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)
         missing = sorted({t for t in terms if t not in cache})
         if missing:
             term_a, doc, tf, dl = self._postings_point_read_raw(missing)
@@ -226,7 +234,7 @@ class QueryEngine:
                 self._term_cache_rows += len(entry[0])
             while (
                 self._term_cache_rows > self.TURBO_CACHE_MAX_POSTINGS
-                and len(cache) > len(terms)
+                and len(cache) > len(set(terms))
             ):
                 _t, (d_old, _tf, _dl) = cache.popitem(last=False)
                 self._term_cache_rows -= len(d_old)
@@ -1041,15 +1049,16 @@ class QueryEngine:
                    max_expansions: int) -> Optional[List[List[str]]]:
         """Slots for ES ``match_phrase_prefix``: analyzed phrase terms
         as singleton slots, the LAST analyzed token replaced by its
-        live-dictionary prefix expansions (ES expands the last token in
-        index-term order, capped at ``max_expansions``; an indexed term
+        live-dictionary prefix expansions — capped in INDEX-TERM order
+        (term asc), exactly ES's behavior of taking the first
+        ``max_expansions`` continuations in term order (an indexed term
         equal to the prefix is included — startswith covers equality).
         None when the phrase analyzes to nothing or the prefix expands
         to nothing (zero hits)."""
         terms = self._phrase_terms_checked(phrase)
         if not terms:
             return None
-        exp = self.prefix_expand(terms[-1], max_expansions)
+        exp = self.prefix_expand(terms[-1], max_expansions, order="term")
         if not exp:
             return None
         return [[t] for t in terms[:-1]] + [sorted(exp)]
@@ -1409,16 +1418,20 @@ class QueryEngine:
 
     # ------------------------------------- term-level expansion queries
     def prefix_expand(self, prefix: str,
-                      max_expansions: int = 50) -> List[str]:
+                      max_expansions: int = 50,
+                      order: str = "df") -> List[str]:
         """Indexed terms starting with ``prefix`` — live df > 0, ordered
         (df desc, term asc), capped at ``max_expansions`` (ES prefix
         expansion; see operators/expand.py for semantics + scale notes).
-        Term-level: ``prefix`` is NOT analyzed (ES behavior)."""
+        ``order="term"`` caps in index-term order instead (the ES
+        match_phrase_prefix behavior).  Term-level: ``prefix`` is NOT
+        analyzed (ES behavior)."""
         from . import expand as X
 
         self._refresh_if_stale()
         return X.prefix_terms(
-            self.spark, self.index_dir, self._manifest, prefix, max_expansions
+            self.spark, self.index_dir, self._manifest, prefix,
+            max_expansions, order=order,
         )
 
     def fuzzy_expand(self, term: str, max_edits: int = 1,

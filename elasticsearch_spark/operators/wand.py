@@ -379,6 +379,13 @@ class WandEngine:
         from . import reader as R
 
         cache = self._block_row_cache
+        # MRU-mark this call's cache hits BEFORE the eviction loop below:
+        # under a full cache the LRU pop could otherwise evict a term
+        # this very call is about to read (same hazard as
+        # QueryEngine._postings_point_read)
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)
         missing = sorted({t for t in terms if t not in cache})
         if missing:
             cols = ["term", "range_id", "max_impact", "doc_blob", "tf_blob", "len_blob"]
@@ -410,7 +417,7 @@ class WandEngine:
                 )
             while (
                 self._block_cache_bytes > self.TURBO_CACHE_MAX_BYTES
-                and len(cache) > len(terms)
+                and len(cache) > len(set(terms))
             ):
                 _t, old = cache.popitem(last=False)
                 self._block_cache_bytes -= sum(

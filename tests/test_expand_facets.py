@@ -537,3 +537,85 @@ def test_scan_pages_equal_full_ranking(spark, engine):
 
 def test_scan_empty_query(engine):
     assert list(engine.scan("nonexistentterm", page_size=5)) == []
+
+
+# ------------------- in-plan capped tier + alternation + term-order cap
+
+def _df_map(spark, engine):
+    rows = (
+        spark.read.parquet(os.path.join(engine.index_dir, "dictionary"))
+        .select("term", "df")
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        out[r["term"]] = out.get(r["term"], 0) + r["df"]
+    return out
+
+
+def test_regexp_toplevel_alternation_scans_both_branches(spark, engine):
+    """'ab|cd' must return terms from BOTH branches: prefix pruning to
+    the left branch's literal would silently drop the right branch."""
+    df_map = _df_map(spark, engine)
+    live = sorted(t for t, d in df_map.items() if d > 0)
+    # two live terms with different first letters
+    a = next(t for t in live if t[0] == "s")
+    b = next(t for t in live if t[0] not in ("s", a[0]))
+    got = engine.regexp_expand(f"{a}|{b}", max_expansions=50)
+    assert set(got) == {a, b}, (a, b, got)
+    # grouped alternation too (cut lands on '(' -> full scan)
+    got2 = engine.regexp_expand(f"({a}|{b})", max_expansions=50)
+    assert set(got2) == {a, b}
+
+
+def test_in_plan_capped_tier_matches_driver_tier(spark, engine, monkeypatch):
+    """Force the in-plan capped tier (driver budget = 0) and assert it
+    returns the SAME expansions as the driver pyarrow tier, while the
+    receipt shows at most max_expansions rows were ever collected —
+    never the range size (the 100-TB driver-OOM guard)."""
+    from elasticsearch_spark.operators import expand as X
+
+    cap = 5
+    want_prefix = engine.prefix_expand("s", max_expansions=cap)
+    want_wild = engine.wildcard_expand("s?a*", max_expansions=cap)
+    want_re = engine.regexp_expand("s.*", max_expansions=cap)
+    want_fuzzy = engine.fuzzy_expand("slaw", max_edits=2, prefix_length=1,
+                                     max_expansions=cap)
+    monkeypatch.setattr(X, "DRIVER_RANGE_MAX_TERMS", 0)
+    assert engine.prefix_expand("s", max_expansions=cap) == want_prefix
+    assert X.LAST_PLAN_ROWS <= cap
+    assert engine.wildcard_expand("s?a*", max_expansions=cap) == want_wild
+    assert X.LAST_PLAN_ROWS <= cap
+    assert engine.regexp_expand("s.*", max_expansions=cap) == want_re
+    assert X.LAST_PLAN_ROWS <= cap
+    assert engine.fuzzy_expand("slaw", max_edits=2, prefix_length=1,
+                               max_expansions=cap) == want_fuzzy
+    assert X.LAST_PLAN_ROWS <= cap
+
+
+def test_in_plan_suggest_matches_driver_tier(spark, engine, monkeypatch):
+    """suggest through the in-plan tier (JVM levenshtein + in-plan
+    TakeOrdered) == the driver tier's (distance, df desc, term) list."""
+    from elasticsearch_spark.operators import expand as X
+
+    want = engine.suggest("slaw", size=5, max_edits=2, prefix_length=1)
+    monkeypatch.setattr(X, "DRIVER_RANGE_MAX_TERMS", 0)
+    got = engine.suggest("slaw", size=5, max_edits=2, prefix_length=1)
+    assert [(s["text"], s["distance"], s["freq"]) for s in got["slaw"]] == [
+        (s["text"], s["distance"], s["freq"]) for s in want["slaw"]
+    ]
+    assert X.LAST_PLAN_ROWS <= 5
+
+
+def test_prefix_expand_term_order_cap(spark, engine):
+    """order='term' caps in index-term order (the ES
+    match_phrase_prefix last-token behavior), not df order."""
+    df_map = _df_map(spark, engine)
+    live = sorted(t for t, d in df_map.items()
+                  if d > 0 and t.startswith("s"))
+    assert engine.prefix_expand("s", max_expansions=3, order="term") == live[:3]
+    # df-order default unchanged
+    by_df = sorted(((t, df_map[t]) for t in live), key=lambda x: (-x[1], x[0]))
+    assert engine.prefix_expand("s", max_expansions=3) == [
+        t for t, _ in by_df[:3]
+    ]

@@ -304,3 +304,42 @@ def test_turbo_batch_matches_plan(spark, index_dir):
         assert [r["doc_id"] for r in turbo[q]] == [r["doc_id"] for r in plan[q]], q
         for g, w in zip(turbo[q], plan[q]):
             assert abs(g["score"] - w["score"]) < 1e-9, q
+
+
+def test_turbo_lru_never_evicts_current_call_terms(spark, index_dir):
+    """Under a full cache, the LRU eviction loop must never pop a term
+    the CURRENT call is reading (previously: cached hits kept their old
+    LRU slot until after eviction, so a full cache could evict them
+    mid-call -> KeyError from unguarded callers like explain())."""
+    import numpy as np
+
+    eng = QueryEngine(spark, index_dir, turbo=True)
+    dict_terms = [
+        r["term"]
+        for r in spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        .orderBy(F.col("df").desc())
+        .limit(8)
+        .collect()
+    ]
+    assert len(dict_terms) >= 6
+    # force perpetual over-budget so the eviction loop always runs
+    old = eng.TURBO_CACHE_MAX_POSTINGS
+    eng.TURBO_CACHE_MAX_POSTINGS = 0
+    try:
+        # warm a, b; then read (a, c): a is a cache hit that eviction
+        # must not pop while c is being inserted
+        a, b, c = dict_terms[:3]
+        eng._postings_point_read([a])
+        eng._postings_point_read([b])
+        t1, d1, _, _ = eng._postings_point_read([a, c])
+        # correctness of the returned arrays (not just no-crash)
+        t2, d2, _, _ = eng._postings_point_read_raw([a, c])
+        o1 = np.lexsort((d1, t1.astype(str)))
+        o2 = np.lexsort((d2, t2.astype(str)))
+        assert list(t1[o1].astype(str)) == list(t2[o2].astype(str))
+        assert list(d1[o1]) == list(d2[o2])
+        # repeated overlapping reads under zero budget never KeyError
+        for pair in [(a, b), (b, c), (c, a), (a, b)]:
+            eng._postings_point_read(list(pair))
+    finally:
+        eng.TURBO_CACHE_MAX_POSTINGS = old
