@@ -1,0 +1,400 @@
+"""Multi-field indexes + ES ``multi_match`` (the reference's actual
+ground-truth query: ``multi_match`` with ``type: best_fields`` over
+``fields: ["title^2", "text"]`` — ``/root/reference/
+elasticsearch_indexer.py:122-149``, boosted-title mapping
+``elasticsearch_indexer.py:54-62``).
+
+Architecture: **Lucene-style per-field postings** — every field is a
+complete single-field index under ``<index_dir>/fields/<name>/`` built
+by the UNTOUCHED :class:`~.build.IndexBuilder`.  That yields ES's
+per-field statistics for free (each field has its own df, idf, avgdl,
+doc_len — exactly how Lucene scores a per-field ``match``), and keeps
+single-field index layouts byte-identical (tests/test_multifield.py
+proves a ``fields/<f>/`` tree equals a standalone build of that field).
+Doc ids are assigned ONCE on the parent input and passed through as
+caller-provided ids, so every field shares one doc-id space.
+
+``multi_match`` composition (ES semantics):
+
+* ``best_fields`` — per doc, the best per-field ``match`` score plus
+  ``tie_breaker`` × the rest (ES compiles this to a ``dis_max`` over
+  per-field matches); ``tie_breaker=0`` (the ES default) is a pure max.
+* ``most_fields`` — per doc, the SUM of per-field match scores.
+
+Field boosts use the ES caret syntax (``"title^2"``) or an explicit
+``{field: boost}`` map; a field's match score is multiplied by its
+boost before the combine, as Lucene does.
+
+Scale shape (100 TB): each per-field score plan is the proven single
+BM25 plan — bucket+term-pruned parquet scan → partial aggregate → one
+exchange — and the combine is ONE extra shuffle on doc_id sized by the
+union of per-field hit sets (never the corpus).  Nothing is collected
+to the driver except the final top-k.  The turbo tier serves warm
+interactive queries with per-field numpy score maps merged on the
+driver, result-identical to the plan (pytest-enforced).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import asdict
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .build import IndexBuilder, IndexConfig, assign_doc_ids
+
+MULTIFIELD_MANIFEST = "multifield.json"
+
+FieldsArg = Union[None, Sequence[str], Dict[str, float]]
+
+
+def parse_fields(fields: FieldsArg,
+                 default: Sequence[str] = ()) -> Dict[str, float]:
+    """ES field-list syntax -> {field: boost}.  Accepts ``["title^2",
+    "text"]`` (caret boosts, default 1.0) or an explicit map."""
+    if fields is None:
+        return {f: 1.0 for f in default}
+    if isinstance(fields, dict):
+        return {str(f): float(b) for f, b in fields.items()}
+    out: Dict[str, float] = {}
+    for spec in fields:
+        m = re.match(r"^(.*?)(?:\^(\d+(?:\.\d+)?))?$", spec)
+        out[m.group(1)] = float(m.group(2)) if m.group(2) else 1.0
+    return out
+
+
+class MultiFieldIndexBuilder:
+    """Builds one single-field index per field under
+    ``<index_dir>/fields/<name>/`` from a shared doc-id assignment.
+
+    The per-field builds are plain :class:`IndexBuilder` runs — all of
+    its machinery (segments, resume, O(delta) updates, compaction,
+    codecs) applies per field unchanged.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 fields: Sequence[str],
+                 config: IndexConfig = IndexConfig()):
+        if not fields:
+            raise ValueError("multi-field index needs at least one field")
+        self.spark = spark
+        self.index_dir = index_dir
+        self.fields = list(fields)
+        self.config = config
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "MultiFieldIndexBuilder":
+        """Builder bound to an existing multi-field index, fields +
+        config loaded from its manifest (the safe update constructor,
+        mirroring ``IndexBuilder.open``)."""
+        meta = _load_meta(index_dir)
+        return cls(spark, index_dir, meta["fields"], _meta_config(meta))
+
+    def field_dir(self, fname: str) -> str:
+        return os.path.join(self.index_dir, "fields", fname)
+
+    # ------------------------------------------------------------- build
+    def _shared_ids(self, raw: DataFrame) -> DataFrame:
+        """(doc_id, url, <field columns>) with ONE id assignment shared
+        by every field (ids dense by url order, same recipe as
+        ``IndexBuilder.prepare_docs``)."""
+        cfg = self.config
+        df = raw
+        if cfg.lang is not None and "lang" in df.columns:
+            df = df.filter(F.col("lang") == cfg.lang)
+        if "doc_id" in df.columns:
+            url = (F.col("url") if "url" in df.columns
+                   else F.col("doc_id")).cast("string")
+            return df.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                url.alias("url"),
+                *[F.col(f).cast("string").alias(f) for f in self.fields],
+            )
+        base = df.withColumn("url", F.col("url").cast("string"))
+        scratch = os.path.join(self.index_dir, "_scratch_mf")
+        os.makedirs(scratch, exist_ok=True)
+        ids = assign_doc_ids(
+            base.select("url"), "url", cfg.id_partitions, scratch_dir=scratch
+        )
+        return base.join(ids, "url").select(
+            "doc_id", "url",
+            *[F.col(f).cast("string").alias(f) for f in self.fields],
+        )
+
+    def build(self, raw: DataFrame) -> dict:
+        """Build every field's index from one pass-shaped input.  The
+        shared (doc_id, url, fields...) projection is materialized to
+        scratch once so the id assignment and any upstream UDFs never
+        re-run per field."""
+        shared = self._shared_ids(raw)
+        scratch = os.path.join(self.index_dir, "_scratch_mf_docs")
+        shared.write.mode("overwrite").parquet(scratch)
+        shared = self.spark.read.parquet(scratch)
+        manifests = {}
+        try:
+            for fname in self.fields:
+                sub = shared.select(
+                    "doc_id", "url", F.col(fname).alias("text")
+                )
+                b = IndexBuilder(self.spark, self.field_dir(fname), self.config)
+                manifests[fname] = b.build(sub)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(os.path.join(self.index_dir, "_scratch_mf"),
+                          ignore_errors=True)
+        self._save_meta()
+        return {"fields": {f: m.get("stats") for f, m in manifests.items()}}
+
+    def _save_meta(self) -> None:
+        meta = {"fields": self.fields, "config": asdict(self.config)}
+        tmp = os.path.join(self.index_dir, MULTIFIELD_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, os.path.join(self.index_dir, MULTIFIELD_MANIFEST))
+
+    # ------------------------------------------------------- incremental
+    def update_index(self, add: Optional[DataFrame] = None,
+                     remove_urls: Optional[List[str]] = None,
+                     compact: object = "auto",
+                     segment_name: Optional[str] = None) -> dict:
+        """O(delta) update applied to EVERY field index.  ``add`` rows
+        need the field columns (+ doc_id/url like build); removals are
+        by url, the shared key across fields."""
+        out = {}
+        add_shared = self._shared_ids(add) if add is not None else None
+        for fname in self.fields:
+            b = IndexBuilder.open(self.spark, self.field_dir(fname))
+            sub = (
+                add_shared.select("doc_id", "url", F.col(fname).alias("text"))
+                if add_shared is not None else None
+            )
+            out[fname] = b.update_index(
+                add=sub, remove_urls=remove_urls, compact=compact,
+                segment_name=segment_name,
+            )
+        return out
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MULTIFIELD_MANIFEST)) as f:
+        return json.load(f)
+
+
+class MultiMatchEngine:
+    """ES ``multi_match`` over a multi-field index: one
+    :class:`~.query.QueryEngine` per field, composed per the query
+    type.  Two serving tiers like every other query path — the
+    distributed plan (:meth:`multi_match_plan`, the correctness-gated
+    path) and a driver-side turbo twin for warm interactive queries
+    (result-identical, pytest-enforced)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 turbo: bool = True):
+        from .query import QueryEngine
+
+        self.spark = spark
+        self.index_dir = index_dir
+        meta = _load_meta(index_dir)
+        self.fields: List[str] = list(meta["fields"])
+        self.engines: Dict[str, "QueryEngine"] = {
+            f: QueryEngine(
+                spark, os.path.join(index_dir, "fields", f), turbo=turbo
+            )
+            for f in self.fields
+        }
+
+    # ---------------------------------------------------------- plan tier
+    def multi_match_plan(self, query: str, fields: FieldsArg = None,
+                         match_type: str = "best_fields",
+                         tie_breaker: float = 0.0,
+                         method: str = "bm25") -> Optional[DataFrame]:
+        """(doc_id, score) for the multi_match — no truncation.  None
+        when no field has a live query term (ES: zero hits).  Per-field
+        ``match`` scores come from each field engine's
+        :meth:`~.query.QueryEngine.score_plan` (field-local idf/avgdl),
+        × boost; the combine is one groupBy(doc_id)."""
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(f"unsupported multi_match type {match_type!r}")
+        boosts = parse_fields(fields, default=self.fields)
+        plans = []
+        for fname, boost in boosts.items():
+            eng = self.engines.get(fname)
+            if eng is None:
+                raise KeyError(f"field {fname!r} is not indexed "
+                               f"(have {self.fields})")
+            p = eng.score_plan(query, method)
+            if p is not None:
+                plans.append(
+                    p.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(float(boost))).alias("score"),
+                    )
+                )
+        if not plans:
+            return None
+        u = plans[0]
+        for p in plans[1:]:
+            u = u.unionByName(p)
+        if match_type == "most_fields":
+            return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return (
+            u.groupBy("doc_id")
+            .agg(F.max("score").alias("best"), F.sum("score").alias("tot"))
+            .select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(float(tie_breaker)) * (F.col("tot") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+
+    # --------------------------------------------------------- turbo tier
+    def _turbo_field_scores(self, eng, query: str, method: str):
+        """Full per-doc score map for one field on the driver: the same
+        pruned point read + float64 numpy math as
+        ``QueryEngine._turbo_ranked`` (result-identical to that field's
+        ``score_plan``).  None -> caller falls back to the plan tier."""
+        import numpy as np
+        from collections import Counter
+
+        terms = eng._terms(query)
+        idf_map = eng.term_idf(terms)
+        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
+        if not live:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        uniq = sorted(set(live))
+        if sum(eng._df_cache.get(t, 0) for t in uniq) > eng.TURBO_MAX_POSTINGS:
+            return None
+        try:
+            term_a, doc, tf, dl = eng._postings_point_read(uniq)
+        except Exception:
+            return None
+        ok = dl > 0
+        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
+        if doc.size == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        counts = Counter(live)
+        codes_map = {t: i for i, t in enumerate(uniq)}
+        weights = np.array(
+            [idf_map[t] * float(counts[t]) for t in uniq], dtype=np.float64
+        )
+        codes = np.fromiter(
+            (codes_map[t] for t in term_a), dtype=np.int64, count=term_a.size
+        )
+        tf_f = tf.astype(np.float64)
+        if method == "bm25":
+            k1, b = eng.k1, eng.b
+            impact = (tf_f * (k1 + 1)) / (
+                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / eng.avg_doc_len))
+            )
+        elif method == "tfidf":
+            impact = tf_f / dl.astype(np.float64)
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        s = weights[codes] * impact
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        return docs_u, np.bincount(inv, weights=s)
+
+    def _turbo_multi_match(self, query: str, k: int,
+                           boosts: Dict[str, float], match_type: str,
+                           tie_breaker: float, method: str,
+                           want_total: bool) -> Optional[dict]:
+        import numpy as np
+
+        per_field: List[Tuple["np.ndarray", "np.ndarray"]] = []
+        for fname, boost in boosts.items():
+            eng = self.engines.get(fname)
+            if eng is None:
+                raise KeyError(f"field {fname!r} is not indexed "
+                               f"(have {self.fields})")
+            if not eng.turbo:
+                return None
+            got = self._turbo_field_scores(eng, query, method)
+            if got is None:
+                return None
+            docs_u, scores = got
+            per_field.append((docs_u, scores * float(boost)))
+        docs_all = np.concatenate([d for d, _s in per_field]) if per_field else None
+        if docs_all is None or docs_all.size == 0:
+            return {
+                "query": query,
+                "total_hits": 0 if want_total else None,
+                "results": [],
+            }
+        uniq, inv = np.unique(docs_all, return_inverse=True)
+        scores_all = np.concatenate([s for _d, s in per_field])
+        tot = np.bincount(inv, weights=scores_all, minlength=uniq.size)
+        if match_type == "most_fields":
+            combined = tot
+        else:
+            best = np.full(uniq.size, -np.inf)
+            np.maximum.at(best, inv, scores_all)
+            combined = best + float(tie_breaker) * (tot - best)
+        order = np.lexsort((uniq, -combined))[:k]
+        return {
+            "query": query,
+            "total_hits": int(uniq.size) if want_total else None,
+            "results": [
+                {"doc_id": int(uniq[i]), "score": float(combined[i])}
+                for i in order
+            ],
+        }
+
+    # ------------------------------------------------------------ results
+    def multi_match(self, query: str, k: int = 10, fields: FieldsArg = None,
+                    match_type: str = "best_fields",
+                    tie_breaker: float = 0.0, method: str = "bm25",
+                    with_total_hits: bool = True) -> dict:
+        """Reference result shape ``{query, total_hits, results}``
+        (``elasticsearch_indexer.py:135-148``), deterministic
+        (score desc, doc_id asc) tie-break.  total_hits counts docs
+        matching in ANY queried field (ES semantics)."""
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(f"unsupported multi_match type {match_type!r}")
+        boosts = parse_fields(fields, default=self.fields)
+        res = self._turbo_multi_match(
+            query, k, boosts, match_type, tie_breaker, method,
+            with_total_hits,
+        )
+        if res is not None:
+            return res
+        plan = self.multi_match_plan(query, boosts, match_type,
+                                     tie_breaker, method)
+        if plan is None:
+            return {
+                "query": query,
+                "total_hits": 0 if with_total_hits else None,
+                "results": [],
+            }
+        any_eng = next(iter(self.engines.values()))
+        if with_total_hits:
+            obs = Observation()
+            plan = plan.observe(obs, F.count(F.lit(1)).alias("n"))
+        with any_eng._interactive():
+            top = (
+                plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"]) if with_total_hits else None
+        return {
+            "query": query,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+            ],
+        }
+
+
+def _meta_config(meta: dict) -> IndexConfig:
+    from dataclasses import fields as dc_fields
+
+    known = {f.name for f in dc_fields(IndexConfig)}
+    return IndexConfig(**{k: v for k, v in (meta.get("config") or {}).items()
+                          if k in known})

@@ -300,3 +300,54 @@ def evaluate_rpn(index: OracleIndex, rpn: Tuple[str, ...]) -> FrozenSet[int]:
             plist = index.postings.get(token, ())
             stack.append(frozenset(d for d, _ in plist))
     return stack[0] if stack else frozenset()
+
+
+# ----------------------------------------------------------- multi_match
+def multi_match_score_all(field_indexes: Dict[str, OracleIndex],
+                          boosts: Dict[str, float], query: str,
+                          match_type: str = "best_fields",
+                          tie_breaker: float = 0.0, method: str = "bm25",
+                          pretokenized_query: bool = False
+                          ) -> Dict[int, float]:
+    """ES ``multi_match`` oracle over per-field OracleIndexes (the
+    reference ES query shape, elasticsearch_indexer.py:122-149): each
+    field scores the query with ITS OWN statistics × boost;
+    ``best_fields`` combines per doc as best + tie_breaker × (rest),
+    ``most_fields`` sums."""
+    per_field: Dict[int, List[float]] = {}
+    for fname, boost in boosts.items():
+        scores = field_indexes[fname].score_all(
+            query, method, pretokenized_query
+        )
+        for doc_id, s in scores.items():
+            per_field.setdefault(doc_id, []).append(s * boost)
+    out: Dict[int, float] = {}
+    for doc_id, vals in per_field.items():
+        if match_type == "most_fields":
+            out[doc_id] = sum(vals)
+        elif match_type == "best_fields":
+            best = max(vals)
+            out[doc_id] = best + tie_breaker * (sum(vals) - best)
+        else:
+            raise ValueError(f"unsupported multi_match type {match_type!r}")
+    return out
+
+
+def multi_match_query(field_indexes: Dict[str, OracleIndex],
+                      boosts: Dict[str, float], query: str, k: int = 10,
+                      match_type: str = "best_fields",
+                      tie_breaker: float = 0.0, method: str = "bm25",
+                      pretokenized_query: bool = False) -> dict:
+    """Reference result shape for multi_match, deterministic
+    (score desc, doc_id asc) tie-break; total_hits counts docs matching
+    in ANY queried field."""
+    doc_scores = multi_match_score_all(
+        field_indexes, boosts, query, match_type, tie_breaker, method,
+        pretokenized_query,
+    )
+    ranked = sorted(doc_scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": query,
+        "total_hits": len(doc_scores),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }

@@ -500,6 +500,127 @@ def _engine(spark, sf_dir):
     return _ENGINE_CACHE[key]
 
 
+def _mf_engine(spark, sf_dir):
+    """Build (once) a MULTI-FIELD index — per-field postings under
+    ``fields/{title,text}/`` sharing one doc-id space — and return a
+    MultiMatchEngine (operators/multifield.py).  The ``title`` field is
+    derived deterministically as the first 3 tokens of ``text`` (the
+    documents table has no title column), expressible identically in
+    DuckDB as ``string_split(text, ' ')[1:3]``."""
+    from ..operators.build import IndexConfig
+    from ..operators.multifield import MultiFieldIndexBuilder, MultiMatchEngine
+
+    cfg = IndexConfig(
+        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True,
+        use_html=False,
+    )
+    key = os.path.abspath(sf_dir) + repr(cfg) + ":multifield"
+    if key not in _ENGINE_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "es_spark_entry_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        )
+        if not os.path.exists(os.path.join(idx_dir, "multifield.json")):
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).withColumn(
+                "title",
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "),
+            )
+            MultiFieldIndexBuilder(
+                spark, idx_dir, ["title", "text"], cfg
+            ).build(docs)
+        _ENGINE_CACHE[key] = MultiMatchEngine(spark, idx_dir)
+    return _ENGINE_CACHE[key]
+
+
+def _multi_match_sql(terms, boosts=((2.0, 3), (1.0, 0)), tie_breaker=0.0,
+                     match_type="best_fields", k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for multi_match over the derived-title field pair:
+    per-field token CTEs (title = first ``n_tok`` tokens, 0 = all), each
+    field scored with ITS OWN df/avgdl/doc_len (ES per-field statistics),
+    × boost, combined best_fields (max + tie × rest) or most_fields
+    (sum)."""
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+tf{i} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok{i}
+          WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+dfq{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY term),
+idf{i} AS (SELECT term, ln((c{i}.n + 1)::DOUBLE / (dfq{i}.df + 1)::DOUBLE) AS idf
+           FROM dfq{i}, c{i}),
+s{i} AS (SELECT tf.doc_id,
+                {boost} * sum(idf.idf * ((tf.tf * ({k1} + 1)) /
+                    (tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / c{i}.avgdl))))) AS s
+         FROM tf{i} tf JOIN idf{i} idf ON tf.term = idf.term
+                       JOIN dl{i} dl ON tf.doc_id = dl.doc_id, c{i}
+         WHERE idf.idf <> 0
+         GROUP BY tf.doc_id)""")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, s FROM s{i}" for i in range(len(boosts))
+    )
+    comb = ("sum(s)" if match_type == "most_fields"
+            else f"max(s) + {tie_breaker} * (sum(s) - max(s))")
+    return f"""WITH {','.join(parts)},
+u AS ({unions}),
+comb AS (SELECT doc_id, {comb} AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+MULTI_MATCH_TERMS = ["spark", "table", "merge"]
+
+
+@register("engine_multi_match_topk", _multi_match_sql(MULTI_MATCH_TERMS))
+def engine_multi_match_topk(spark, sf_dir):
+    """The reference's actual ES ground-truth query shape
+    (elasticsearch_indexer.py:122-149): ``multi_match`` best_fields
+    over ``title^2, text`` — per-field BM25 with field-local statistics
+    from the per-field sub-indexes, per-doc max across fields."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"]
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_multi_match_tie",
+    _multi_match_sql(MULTI_MATCH_TERMS, tie_breaker=0.3),
+)
+def engine_multi_match_tie(spark, sf_dir):
+    """best_fields with ``tie_breaker=0.3``: best + 0.3 × (sum − best)
+    per doc — the dis_max-style blend ES applies when secondary fields
+    should contribute."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+        tie_breaker=0.3,
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_multi_match_most_fields",
+    _multi_match_sql(MULTI_MATCH_TERMS, match_type="most_fields"),
+)
+def engine_multi_match_most_fields(spark, sf_dir):
+    """``most_fields``: per-field match scores SUM per doc (ES semantics
+    for 'same text analyzed multiple ways')."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+        match_type="most_fields",
+    )
+    return _topk(plan, 10)
+
+
 def _engine_inc(spark, sf_dir):
     """Engine over an INCREMENTALLY-built index: base build on even
     doc_ids, then ``update_index(add=<odd doc_ids>)`` — which leaves an

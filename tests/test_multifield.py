@@ -1,0 +1,239 @@
+"""Multi-field index + ES multi_match vs the pure-Python oracle.
+
+The reference's actual ES ground-truth query is ``multi_match`` with
+``type: best_fields`` over ``fields: ["title^2", "text"]``
+(/root/reference/elasticsearch_indexer.py:122-149; boosted-title mapping
+:54-62).  These tests build a two-field index (title = leading words of
+each doc, text = the full doc) through the full preprocessing pipeline
+and require rank identity + 1e-9 score equality against per-field
+OracleIndexes combined by the oracle's multi_match, for best_fields
+(tie_breaker 0 and 0.35) and most_fields; plus turbo ≡ plan identity,
+byte-identity of a ``fields/<f>/`` sub-index with a standalone
+single-field build, and O(delta) update ≡ rebuild.
+"""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_spark.operators.build import IndexBuilder, IndexConfig
+from elasticsearch_spark.operators.multifield import (
+    MultiFieldIndexBuilder,
+    MultiMatchEngine,
+    parse_fields,
+)
+from elasticsearch_spark.oracle.engine import OracleIndex, multi_match_query
+from elasticsearch_spark.sources.webtext import gen_corpus
+
+N_DOCS = 150
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+QUERIES = [
+    "machine learning",
+    "sparkhead",
+    "running studies dying",
+    "zo ta ne",
+    "nonexistentterm",
+]
+
+VARIANTS = [
+    ("best_fields", 0.0),
+    ("best_fields", 0.35),
+    ("most_fields", 0.0),
+]
+
+CFG = IndexConfig(n_buckets=8, doc_range_bits=6, lang=None,
+                  pretokenized=False, use_html=False)
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _field_rows(n):
+    """(doc_id, url, title, text) with the reference queryset's vocab
+    mixed into the corpus so the golden-queryset run below has hits."""
+    from elasticsearch_spark.sources.webtext import query_vocab
+
+    pool = query_vocab(os.path.join(REPO, "fixtures", "queryset.json"))
+    rows = []
+    for i, d in enumerate(gen_corpus(n, mix_words=pool)):
+        words = d["text"].split()
+        rows.append((i, d["url"], " ".join(words[:4]), d["text"]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return _field_rows(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def mf_dir(spark, tmp_index_root, rows):
+    d = os.path.join(tmp_index_root, "multifield")
+    MultiFieldIndexBuilder(spark, d, ["title", "text"], CFG).build(
+        spark.createDataFrame(rows, SCHEMA)
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def mf_engine(spark, mf_dir):
+    return MultiMatchEngine(spark, mf_dir)
+
+
+@pytest.fixture(scope="module")
+def oracles(rows):
+    return {
+        "title": OracleIndex.build([(i, t) for i, _u, t, _x in rows]),
+        "text": OracleIndex.build([(i, x) for i, _u, _t, x in rows]),
+    }
+
+
+BOOSTS = {"title": 2.0, "text": 1.0}
+
+
+def _assert_same(got: dict, want: dict, ctx: str):
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], ctx
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, ctx
+    assert got["total_hits"] == want["total_hits"], ctx
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("match_type,tie", VARIANTS)
+def test_multi_match_matches_oracle(mf_engine, oracles, query, match_type, tie):
+    got = mf_engine.multi_match(
+        query, k=10, fields=["title^2", "text"],
+        match_type=match_type, tie_breaker=tie,
+    )
+    want = multi_match_query(
+        oracles, BOOSTS, query, k=10, match_type=match_type, tie_breaker=tie
+    )
+    _assert_same(got, want, f"{query!r} {match_type} tb={tie}")
+
+
+@pytest.mark.parametrize("match_type,tie", VARIANTS)
+def test_turbo_matches_plan(spark, mf_dir, oracles, match_type, tie):
+    """The driver-side turbo combine must be result-identical to the
+    distributed plan path (same doc ids, scores to 1e-9, total_hits)."""
+    turbo = MultiMatchEngine(spark, mf_dir, turbo=True)
+    plan = MultiMatchEngine(spark, mf_dir, turbo=False)
+    for query in ("machine learning", "running studies dying"):
+        got_t = turbo.multi_match(query, k=10, fields=BOOSTS,
+                                  match_type=match_type, tie_breaker=tie)
+        got_p = plan.multi_match(query, k=10, fields=BOOSTS,
+                                 match_type=match_type, tie_breaker=tie)
+        _assert_same(got_t, got_p, f"{query!r} {match_type} tb={tie}")
+
+
+def _tree_content_hashes(root: str):
+    """Sorted sha256 of every data file under a table tree, name-blind
+    (Spark part-file names embed job UUIDs; the CONTENT must match)."""
+    out = []
+    for r, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS, CRC sidecars
+            with open(os.path.join(r, f), "rb") as fh:
+                out.append(
+                    (os.path.relpath(r, root), hashlib.sha256(fh.read()).hexdigest())
+                )
+    return sorted(out)
+
+
+def test_field_subindex_byte_identical_to_standalone(
+    spark, tmp_index_root, rows, mf_dir
+):
+    """The multi-field build reuses IndexBuilder untouched: the
+    ``fields/text/`` tree must be byte-identical (per partition-dir
+    file contents) to a standalone single-field build of the same
+    column — proof the single-field layout is unchanged."""
+    solo = os.path.join(tmp_index_root, "solo_text")
+    IndexBuilder(spark, solo, CFG).build(
+        spark.createDataFrame(rows, SCHEMA).select("doc_id", "url", "text")
+    )
+    for table in ("postings", "dictionary", "blocks", "docs"):
+        a = _tree_content_hashes(os.path.join(mf_dir, "fields", "text", table))
+        b = _tree_content_hashes(os.path.join(solo, table))
+        assert a == b, table
+
+
+def test_update_add_matches_rebuild(spark, tmp_index_root, rows, oracles):
+    """O(delta) multi-field update: base build on the first 100 docs +
+    update_index(add=last 50) must score multi_match identically to the
+    full-corpus oracle (both fields' deltas + live df merge)."""
+    d = os.path.join(tmp_index_root, "multifield_inc")
+    base = spark.createDataFrame(rows[:100], SCHEMA)
+    delta = spark.createDataFrame(rows[100:], SCHEMA)
+    b = MultiFieldIndexBuilder(spark, d, ["title", "text"], CFG)
+    b.build(base)
+    MultiFieldIndexBuilder.open(spark, d).update_index(add=delta, compact=False)
+    eng = MultiMatchEngine(spark, d)
+    for query in ("machine learning", "running studies dying"):
+        got = eng.multi_match(query, k=10, fields=BOOSTS)
+        want = multi_match_query(oracles, BOOSTS, query, k=10)
+        _assert_same(got, want, query)
+
+
+def test_reference_queryset_multi_match(mf_engine, oracles):
+    """Golden-suite extension (boosted-title cases): every ranked query
+    from the reference's own queryset fixture, served as ES would serve
+    it — multi_match best_fields over title^2/text — must be
+    rank-identical to the per-field oracle with 1e-9 scores."""
+    import json
+    import re
+
+    with open(os.path.join(REPO, "fixtures", "queryset.json")) as f:
+        queries = json.load(f)["queries"]
+    ranked = [
+        q for q in queries
+        if not re.search(r"\b(AND|OR|NOT)\b", q) and "(" not in q
+    ]
+    assert len(ranked) >= 50
+    n_hits = 0
+    for q in ranked:
+        got = mf_engine.multi_match(q, k=10, fields=["title^2", "text"])
+        want = multi_match_query(oracles, BOOSTS, q, k=10)
+        _assert_same(got, want, q)
+        n_hits += bool(want["results"])
+    assert n_hits >= len(ranked) // 2  # the mix made most queries real
+
+
+def test_parse_fields():
+    assert parse_fields(["title^2", "text"]) == {"title": 2.0, "text": 1.0}
+    assert parse_fields(["a^1.5"]) == {"a": 1.5}
+    assert parse_fields({"x": 3}) == {"x": 3.0}
+    assert parse_fields(None, default=["p", "q"]) == {"p": 1.0, "q": 1.0}
+
+
+def test_unknown_field_raises(mf_engine):
+    with pytest.raises(KeyError):
+        mf_engine.multi_match_plan("machine", fields=["body"])
+    with pytest.raises(KeyError):
+        mf_engine.multi_match("machine", fields={"body": 1.0})
+
+
+def test_unindexed_query_empty(mf_engine):
+    got = mf_engine.multi_match("nonexistentterm", k=10, fields=BOOSTS)
+    assert got["results"] == [] and got["total_hits"] == 0
+    assert mf_engine.multi_match_plan("nonexistentterm", BOOSTS) is None
+
+
+def test_unsupported_type_raises(mf_engine):
+    with pytest.raises(ValueError):
+        mf_engine.multi_match_plan("machine", BOOSTS, match_type="cross_fields")
+    with pytest.raises(ValueError):
+        mf_engine.multi_match("machine", fields=BOOSTS, match_type="phrase")
