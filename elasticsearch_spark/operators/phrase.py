@@ -71,10 +71,82 @@ def sloppy_starts(slot_pos, slop: int):
     return starts[(prev - starts) <= (len(slot_pos) - 1 + slop)]
 
 
+def movable_starts(slot_pos, slop: int):
+    """Start positions of MOVE-BASED (Lucene/ES ``match_phrase``)
+    sloppy matches within one doc — the transposition-aware semantics.
+
+    A slot-0 occurrence ``p0`` starts a match iff positions ``p_i`` (one
+    per slot, all DISTINCT) exist with slot-adjusted offsets
+    ``q_i = p_i − i`` satisfying ``max(q) − min(q) ≤ slop``.  This is
+    Lucene's move-distance measure: for in-order assignments ``q`` is
+    non-decreasing, so the spread equals ``span − (k−1)`` and the
+    semantics coincide with :func:`sloppy_starts`; an adjacent
+    transposition ("b a" matching a doc's "a b") has spread 2 — exactly
+    the documented Lucene/ES cost of one swap.  At slop ≤ 1 move-based
+    and ordered matching are therefore identical (a transposition
+    already needs 2).
+
+    Distinctness is free across slots holding different terms (one
+    token per position); for REPEATED query terms the assignment is an
+    interval bipartite matching — slot i's feasible positions form the
+    window ``[m+i, m+slop+i]`` whose endpoints both grow with i, so
+    processing slots in order and greedily taking the smallest unused
+    position is optimal (classic interval-scheduling exchange
+    argument).  Work per start is O(slop · k · log tf)."""
+    import numpy as np
+
+    starts = np.asarray(slot_pos[0], dtype=np.int64)
+    if len(slot_pos) == 1 or starts.size == 0:
+        return starts
+    arrays = [np.asarray(a, dtype=np.int64) for a in slot_pos]
+    if any(a.size == 0 for a in arrays):
+        return starts[:0]
+    out = []
+    k = len(arrays)
+    for p0 in starts.tolist():
+        matched = False
+        # window [m, m+slop] must contain q0 = p0 -> m in [p0-slop, p0]
+        for m in range(p0 - slop, p0 + 1):
+            used = {p0}
+            feasible = True
+            for i in range(1, k):
+                a = arrays[i]
+                lo = np.searchsorted(a, m + i, side="left")
+                hi = np.searchsorted(a, m + slop + i, side="right")
+                chosen = None
+                for p in a[lo:hi].tolist():
+                    if p not in used:
+                        chosen = p
+                        break
+                if chosen is None:
+                    feasible = False
+                    break
+                used.add(chosen)
+            if feasible:
+                matched = True
+                break
+        if matched:
+            out.append(p0)
+    return np.asarray(out, dtype=np.int64)
+
+
+def _starts_fn(slop: int, slop_mode: str):
+    """Resolve the per-doc sloppy-match kernel shared by the Spark
+    tiers: ``ordered`` = :func:`sloppy_starts` (in-order, the engine's
+    historical semantics), ``moves`` = :func:`movable_starts`
+    (Lucene/ES transposition-aware)."""
+    if slop_mode == "ordered":
+        return sloppy_starts
+    if slop_mode == "moves":
+        return movable_starts
+    raise ValueError(f"unknown slop_mode {slop_mode!r}")
+
+
 def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
                         codec_name: str = "vbyte",
                         tombstones: Optional[Sequence[int]] = None,
-                        slop: int = 0) -> DataFrame:
+                        slop: int = 0,
+                        slop_mode: str = "ordered") -> DataFrame:
     """Positional phrase matching as ONE doc-range-partitioned kernel
     over the compressed block layout — the WAND-kernel shape applied to
     adjacency.
@@ -91,14 +163,16 @@ def phrase_match_kernel(blocks: DataFrame, terms: Sequence[str],
     pytest-enforced; the ``phrase_*`` driver gates hash-check this
     kernel against DuckDB."""
     return phrase_slots_kernel(
-        blocks, [[t] for t in terms], codec_name, tombstones, slop
+        blocks, [[t] for t in terms], codec_name, tombstones, slop,
+        slop_mode,
     )
 
 
 def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
                         codec_name: str = "vbyte",
                         tombstones: Optional[Sequence[int]] = None,
-                        slop: int = 0) -> DataFrame:
+                        slop: int = 0,
+                        slop_mode: str = "ordered") -> DataFrame:
     """Generalized phrase kernel: each phrase position (``slot``) is a
     SET of alternative terms — the shape behind ES ``match_phrase_prefix``
     (last slot = the prefix's dictionary expansions) and synonym-aware
@@ -109,6 +183,7 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
     slots = [list(s) for s in slots]
     uniq = sorted({t for s in slots for t in s})
     tomb_set = frozenset(int(t) for t in tombstones) if tombstones else frozenset()
+    starts_fn = _starts_fn(slop, slop_mode)
 
     def kernel(pdf):
         import numpy as np
@@ -155,7 +230,7 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
         out = []
         for doc in sorted(cand):
             if slop:
-                p = sloppy_starts([m[doc] for m in slot_maps], slop)
+                p = starts_fn([m[doc] for m in slot_maps], slop)
             else:
                 p = slot_maps[0][doc]
                 for i, m in enumerate(slot_maps[1:], start=1):

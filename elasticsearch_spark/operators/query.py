@@ -854,26 +854,37 @@ class QueryEngine:
                 self._blocks_df = merged
         return self._blocks_df
 
-    def phrase_plan(self, phrase: str, slop: int = 0) -> DataFrame:
+    def phrase_plan(self, phrase: str, slop: int = 0,
+                    slop_mode: str = "ordered") -> DataFrame:
         """Exact-phrase match plan ``(doc_id, n_occurrences,
         start_positions)`` over the positional index (requires the index
         to be built with ``IndexConfig(positional=True)``).  Adjacency is
         over processed-token positions (operators/phrase.py).  With
-        ``slop`` the match is the ordered sloppy phrase — ES
-        ``match_phrase``'s ``slop`` parameter restricted to in-order
-        matches (semantics: operators/phrase.py ``sloppy_starts``).
+        ``slop`` the match is the sloppy phrase in one of two modes:
+
+        * ``slop_mode="ordered"`` (default) — in-order matches only
+          (operators/phrase.py ``sloppy_starts``), the engine's
+          historical semantics;
+        * ``slop_mode="moves"`` — Lucene/ES ``match_phrase`` move-based
+          slop (``movable_starts``): a transposed bigram matches at
+          slop 2; identical to ordered at slop ≤ 1.
 
         Served by the doc-range POSITIONAL KERNEL over the compressed
         blocks (one bounded shuffle of the phrase terms' block runs,
         shifted-position intersection in numpy) — a k-term phrase used
         to cost k−1 distributed joins.  Falls back to the join cascade
-        (:meth:`phrase_plan_join`) for pre-position-codec indexes."""
+        (:meth:`phrase_plan_join`) for pre-position-codec indexes
+        (ordered mode only — move-based slop needs the block layout)."""
         self._refresh_if_stale()
         terms = self._phrase_terms_checked(phrase)
         if not terms:
             return self._empty_phrase_plan()
         blocks = self._blocks()
         if blocks is None:
+            if slop and slop_mode == "moves":
+                raise ValueError(
+                    "move-based slop requires the positional block layout"
+                )
             return self.phrase_plan_join(phrase, slop)
         from .phrase import phrase_match_kernel
 
@@ -883,7 +894,7 @@ class QueryEngine:
         ).select("term", "range_id", "doc_blob", "tf_blob", "len_blob", "pos_blob")
         return phrase_match_kernel(
             pruned, terms, self.stats["config"].get("codec", "vbyte"),
-            self._tombstones, slop,
+            self._tombstones, slop, slop_mode,
         )
 
     def phrase_plan_join(self, phrase: str, slop: int = 0) -> DataFrame:
@@ -912,7 +923,8 @@ class QueryEngine:
         ).limit(0)
 
     def _turbo_phrase(self, slots: List[List[str]], k: int,
-                      slop: int = 0) -> Optional[dict]:
+                      slop: int = 0,
+                      slop_mode: str = "ordered") -> Optional[dict]:
         """Driver-side phrase evaluation for small slices: pyarrow
         pruned read of the slots' block runs, decode doc/tf/position
         streams in numpy, shifted-position intersection per candidate
@@ -989,11 +1001,12 @@ class QueryEngine:
         for m in slot_maps[1:]:
             cand &= m.keys()
         results = []
-        from .phrase import sloppy_starts
+        from .phrase import _starts_fn
 
+        starts_fn = _starts_fn(slop, slop_mode)
         for doc in cand:
             if slop:
-                p = sloppy_starts([m[doc] for m in slot_maps], slop)
+                p = starts_fn([m[doc] for m in slot_maps], slop)
             else:
                 p = slot_maps[0][doc]
                 for i, m in enumerate(slot_maps[1:], start=1):
@@ -1011,23 +1024,27 @@ class QueryEngine:
             ],
         }
 
-    def phrase(self, phrase: str, k: int = 10, slop: int = 0) -> dict:
+    def phrase(self, phrase: str, k: int = 10, slop: int = 0,
+               slop_mode: str = "ordered") -> dict:
         """Reference result shape; phrase hits ranked by occurrence
         count then doc_id (no BM25 — the grammar's PHRASE op is set-
-        valued, README.md:39-48).  ``slop`` gives the ordered sloppy
-        phrase (ES ``match_phrase`` slop).  Small slices are served by
-        the driver-side turbo path (zero Spark jobs)."""
+        valued, README.md:39-48).  ``slop`` gives the sloppy phrase:
+        ``slop_mode="ordered"`` (in-order, the default) or ``"moves"``
+        (Lucene/ES transposition-aware — see :meth:`phrase_plan`).
+        Small slices are served by the driver-side turbo path (zero
+        Spark jobs)."""
         self._refresh_if_stale()
         if self.stats["config"].get("positional"):
             terms = self._terms(phrase)
             if terms:
-                res = self._turbo_phrase([[t] for t in terms], k, slop)
+                res = self._turbo_phrase([[t] for t in terms], k, slop,
+                                         slop_mode)
                 if res is not None:
                     res["query"] = phrase
                     return res
         # same single-job Observation trick as ranked(): count rides the
         # top-k action, no persist + count double action
-        plan = self.phrase_plan(phrase, slop)
+        plan = self.phrase_plan(phrase, slop, slop_mode)
         obs = Observation()
         with self._interactive():
             top = (
@@ -2427,26 +2444,52 @@ class QueryEngine:
 
     # ------------------------------------------------- significant terms
     def significant_terms_plan(self, query: str, top_terms: int = 20,
-                               min_fg: int = 3) -> DataFrame:
+                               min_fg: int = 3,
+                               sample_size: Optional[int] = None) -> DataFrame:
         """ES ``significant_terms`` aggregation over the query's hit
         set: terms overrepresented in matching docs vs the corpus,
         scored by lift = (fg_df / fg_total) / (bg_df / N); returns
         (term, fg_df, bg_df, score_r) — top ``top_terms`` by (score
         desc, term asc), fg_df >= ``min_fg``.
 
-        Plan shape: hit set (pruned postings scan, distinct doc_ids) ⋈
-        forward index -> explode distinct (doc, term) -> fg counts; bg
-        df from the LIVE signed dictionary sources.  Work is bounded by
-        the hit set's token mass — at web scale wrap the hit set in a
-        top-N sampler first (the ES sampler-agg idiom); the plan itself
-        has one explode + two agg shuffles and a broadcastable fg side."""
+        ``sample_size`` is the ES ``sampler`` aggregation (its
+        ``shard_size``): the foreground pass runs over only the top
+        ``sample_size`` hits by BM25 relevance instead of the whole hit
+        set — the scale guard for head-term queries, where the hit set
+        ≈ df and an unsampled fg pass explodes the hit set's entire
+        token mass.  Sampling order is (round(score, 6) desc, doc_id) —
+        deterministic across engines, so the DuckDB gate oracle selects
+        the identical sample.  ``fg_total`` becomes the sampled doc
+        count, exactly the sampler's ``doc_count`` in ES.  ``None``
+        keeps the unsampled semantics (small/filtered queries).
+
+        Plan shape: hit set (pruned postings scan; sampled: the BM25
+        score plan + in-plan TakeOrdered, so only ``sample_size`` doc
+        ids survive) ⋈ forward index -> explode distinct (doc, term) ->
+        fg counts; bg df from the LIVE signed dictionary sources.  With
+        sampling the explode is bounded by sample_size × avg doc_len
+        regardless of df."""
         from .reader import live_dictionary, live_tokens
 
         self._refresh_if_stale()
         terms = sorted(set(self._terms(query)))
-        hits = (
-            self._pruned_postings(terms).select("doc_id").distinct()
-        )
+        if sample_size is not None:
+            scored = self.score_plan(query)
+            if scored is None:
+                return self.spark.createDataFrame(
+                    [], "term string, fg_df long, bg_df long, score_r double"
+                )
+            hits = (
+                scored.orderBy(
+                    F.round("score", 6).desc(), F.col("doc_id").asc()
+                )
+                .limit(int(sample_size))
+                .select("doc_id")
+            )
+        else:
+            hits = (
+                self._pruned_postings(terms).select("doc_id").distinct()
+            )
         toks = live_tokens(self.spark, self.index_dir, self._manifest)
         fg_pairs = (
             toks.join(hits, "doc_id")

@@ -229,6 +229,51 @@ class OracleIndex:
                 out[doc] = sorted(starts)
         return out
 
+    def movable_phrase_query(self, phrase: str, slop: int,
+                             pretokenized_query: bool = False
+                             ) -> Dict[int, List[int]]:
+        """doc_id -> start positions under MOVE-BASED (Lucene/ES
+        ``match_phrase``) slop: a slot-0 occurrence ``p0`` starts a
+        match iff distinct positions ``p_i`` (slot i's term at ``p_i``)
+        exist with ``max_i(p_i − i) − min_i(p_i − i) ≤ slop`` — a
+        transposition costs 2; in-order assignments reduce to the
+        ordered span measure.  Brute-force assignment enumeration
+        (itertools.product over the window-filtered candidates) —
+        deliberately NOT the engine's greedy interval matching, so
+        agreement exercises the greedy optimality argument."""
+        from itertools import product
+
+        terms = phrase.split() if pretokenized_query else preprocess_query(phrase)
+        if not terms:
+            return {}
+        docs = None
+        for t in terms:
+            ds = set(self.positions.get(t, {}))
+            docs = ds if docs is None else docs & ds
+        out: Dict[int, List[int]] = {}
+        for doc in docs or ():
+            plists = [self.positions[t][doc] for t in terms]
+            starts = []
+            for p0 in plists[0]:
+                cands = [
+                    [p for p in arr if abs((p - i) - p0) <= slop]
+                    for i, arr in enumerate(plists[1:], start=1)
+                ]
+                hit = False
+                for combo in product(*cands):
+                    ps = (p0,) + combo
+                    if len(set(ps)) != len(ps):
+                        continue
+                    qs = [p - i for i, p in enumerate(ps)]
+                    if max(qs) - min(qs) <= slop:
+                        hit = True
+                        break
+                if hit:
+                    starts.append(p0)
+            if starts:
+                out[doc] = sorted(starts)
+        return out
+
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
         rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))

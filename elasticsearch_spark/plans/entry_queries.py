@@ -827,6 +827,33 @@ def phrase_slop_bigram(spark, sf_dir):
     )
 
 
+def _phrase_moves_sql(terms, slop: int) -> str:
+    """MOVE-BASED sloppy-phrase oracle (Lucene/ES ``match_phrase``
+    slop, operators/phrase.py ``movable_starts``): a slot-0 occurrence
+    starts a match iff DISTINCT positions p_i exist whose slot-adjusted
+    offsets q_i = p_i − i satisfy max(q) − min(q) ≤ slop — a transposed
+    bigram matches at slop 2.  Brute-force join over the term-filtered
+    positions with greatest/least over the offsets."""
+    k = len(terms)
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, k)
+    )
+    conds = [f"p{i}.term = '{t}'" for i, t in enumerate(terms)]
+    conds += [
+        f"p{i}.i <> p{j}.i" for i in range(k) for j in range(i + 1, k)
+    ]
+    qs = ", ".join(f"p{i}.i - {i}" for i in range(k))
+    conds.append(f"greatest({qs}) - least({qs}) <= {slop}")
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+pos AS (SELECT doc_id, L[i] AS term, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t))
+SELECT p0.doc_id, count(DISTINCT p0.i)::BIGINT AS n_occ
+FROM pos p0 {joins}
+WHERE {' AND '.join(conds)}
+GROUP BY p0.doc_id"""
+
+
 PHRASE_SLOP_3 = ["table", "hash", "window"]
 
 
@@ -840,6 +867,35 @@ def engine_phrase_slop(spark, sf_dir):
     return eng.phrase_plan(" ".join(PHRASE_SLOP_3), slop=2).select(
         "doc_id", F.col("n_occurrences").alias("n_occ")
     )
+
+
+PHRASE_MOVES_2 = ["hash", "table"]  # reversed PHRASE_2: transpositions
+
+
+@register("engine_phrase_slop_moves", _phrase_moves_sql(PHRASE_MOVES_2, 2))
+def engine_phrase_slop_moves(spark, sf_dir):
+    """Lucene/ES move-based ``match_phrase`` slop from the positional
+    index: 'hash table'~2 also matches docs containing the TRANSPOSED
+    'table hash' (one swap costs 2 moves) — the ordered kernel would
+    miss them.  Same doc-range kernel, ``movable_starts`` per doc."""
+    eng = _engine(spark, sf_dir)
+    return eng.phrase_plan(
+        " ".join(PHRASE_MOVES_2), slop=2, slop_mode="moves"
+    ).select("doc_id", F.col("n_occurrences").alias("n_occ"))
+
+
+@register(
+    "engine_phrase_moves_tri",
+    _phrase_moves_sql(["hash", "table", "window"], 2),
+)
+def engine_phrase_moves_tri(spark, sf_dir):
+    """Move-based slop, trigram form: the per-doc kernel runs the
+    greedy interval matching over three slots (window spread ≤ 2 over
+    slot-adjusted offsets, distinct positions)."""
+    eng = _engine(spark, sf_dir)
+    return eng.phrase_plan(
+        "hash table window", slop=2, slop_mode="moves"
+    ).select("doc_id", F.col("n_occurrences").alias("n_occ"))
 
 
 @register(
@@ -1778,6 +1834,45 @@ def engine_significant_terms(spark, sf_dir):
     from the live signed dictionary sources, lift scoring."""
     eng = _engine(spark, sf_dir)
     return eng.significant_terms_plan(" ".join(Q1_TERMS), top_terms=20, min_fg=3)
+
+
+@register(
+    "engine_significant_terms_sampled",
+    f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE) AS idf
+        FROM dfq, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id),
+sample AS (SELECT doc_id FROM scored
+           ORDER BY round(score, 6) DESC, doc_id LIMIT 25),
+fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM sample) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term),
+ft AS (SELECT count(*)::BIGINT AS fg_total FROM sample)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round((fg.fg_df::DOUBLE / ft.fg_total) / (bg.bg_df::DOUBLE / corpus.n), 6) AS score_r
+FROM fg JOIN bg ON fg.term = bg.term, ft, corpus
+WHERE fg.fg_df >= 3
+ORDER BY round((fg.fg_df::DOUBLE / ft.fg_total) / (bg.bg_df::DOUBLE / corpus.n), 6) DESC,
+         fg.term LIMIT 20""",
+)
+def engine_significant_terms_sampled(spark, sf_dir):
+    """ES ``sampler`` -> ``significant_terms``: the foreground pass is
+    bounded to the top-25 hits by BM25 relevance (in-plan TakeOrdered)
+    before the token explode — the scale guard for head-term queries
+    whose hit set ≈ df.  fg_total = the sampler's doc_count."""
+    eng = _engine(spark, sf_dir)
+    return eng.significant_terms_plan(
+        " ".join(Q1_TERMS), top_terms=20, min_fg=3, sample_size=25
+    )
 
 
 @register("engine_highlight_topk", _highlight_sql(Q1_TERMS))

@@ -307,6 +307,63 @@ def test_significant_terms_lift(spark, engine):
     assert got == want
 
 
+def test_significant_terms_sampler(spark, engine):
+    """ES sampler semantics: with sample_size >= |hit set| the sampled
+    plan is IDENTICAL to the unsampled one; with a small sample_size the
+    fg pass runs over exactly the top-N hits by (round(score,6) desc,
+    doc_id) and fg_total becomes the sampler's doc_count."""
+    from collections import Counter
+
+    from elasticsearch_spark.operators.reader import live_tokens
+
+    q = "sparkhead visit"
+    full = [tuple(r) for r in
+            engine.significant_terms_plan(q, top_terms=10, min_fg=2).collect()]
+    big = [tuple(r) for r in
+           engine.significant_terms_plan(
+               q, top_terms=10, min_fg=2, sample_size=10 ** 6
+           ).collect()]
+    assert big == full  # sample covers the whole hit set -> identical
+
+    n_sample = 5
+    rows = engine.significant_terms_plan(
+        q, top_terms=10, min_fg=2, sample_size=n_sample
+    ).collect()
+    assert rows
+    # recompute: the sample is the top-n_sample by the sampler's
+    # deterministic order (round(score, 6) desc, doc_id asc)
+    scored = engine.score_plan(q).collect()
+    order = sorted(scored, key=lambda r: (-round(r["score"], 6), r["doc_id"]))
+    sample = {r["doc_id"] for r in order[:n_sample]}
+    assert len(sample) == n_sample
+    toks = {r["doc_id"]: set(r["tokens"])
+            for r in live_tokens(spark, engine.index_dir).collect()}
+    fg = Counter()
+    for d in sample:
+        fg.update(toks[d])
+    bg = Counter()
+    for d in toks:
+        bg.update(toks[d])
+    n = engine.doc_count
+    want = sorted(
+        (
+            (t, fg[t], bg[t],
+             round((fg[t] / n_sample) / (bg[t] / n), 6))
+            for t in fg
+            if fg[t] >= 2
+        ),
+        key=lambda x: (-x[3], x[0]),
+    )[:10]
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score_r"]) for r in rows]
+    assert got == want
+    # unindexed query -> empty frame with the output schema
+    empty = engine.significant_terms_plan(
+        "nonexistentterm", sample_size=5
+    )
+    assert empty.columns == ["term", "fg_df", "bg_df", "score_r"]
+    assert empty.count() == 0
+
+
 def test_wildcard_expand_vs_recompute(spark, engine):
     """Wildcard expansion = regex-translated pattern over the live
     dictionary, (df desc, term asc), capped — vs a python recompute."""

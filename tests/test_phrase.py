@@ -394,3 +394,107 @@ def test_sloppy_phrase_query_on_tokens_df(spark):
     assert got(0) == {1: [0]}
     assert got(1) == {0: [0], 1: [0]}
     assert got(2) == {0: [0], 1: [0], 3: [0]}
+
+
+# ---------------------------------------- move-based (Lucene/ES) slop
+
+def test_movable_starts_hand_cases():
+    """Transposition-aware kernel on hand-built positions
+    (operators/phrase.py movable_starts: max-min of slot-adjusted
+    offsets <= slop, distinct positions)."""
+    from elasticsearch_spark.operators.phrase import movable_starts as ms
+
+    # transposed bigram: query "a b", doc "b a" -> slop 2 hits, 1 misses
+    assert ms([[1], [0]], 2).tolist() == [1]
+    assert ms([[1], [0]], 1).tolist() == []
+    # ordered cases agree with sloppy_starts (spread == span - (k-1))
+    assert ms([[0], [2]], 1).tolist() == [0]
+    assert ms([[0], [2]], 0).tolist() == []
+    assert ms([[0, 5], [1, 6]], 0).tolist() == [0, 5]
+    assert ms([[0], [4], [8]], 6).tolist() == [0]
+    assert ms([[0], [4], [8]], 5).tolist() == []
+    # rotation "a b c" vs doc "c a b": offsets (1, 1, -2) -> spread 3
+    assert ms([[1], [2], [0]], 3).tolist() == [1]
+    assert ms([[1], [2], [0]], 2).tolist() == []
+    # repeated term needs DISTINCT positions
+    assert ms([[3], [3]], 9).tolist() == []
+    assert ms([[3, 4], [3, 4]], 0).tolist() == [3]
+    assert ms([[3, 4], [3, 4]], 2).tolist() == [3, 4]
+    # empty slot kills everything
+    assert ms([[0, 1], [], [2]], 9).tolist() == []
+
+
+MOVES_CASES = [
+    ("faducafib pu", 2),        # reversed live bigram: transpositions real
+    ("pu faducafib", 3),
+    ("sazo zo", 2),
+    ("gahabutew pu", 2),
+    ("pu gahabutew faducafib", 4),
+    ("sparkhead sparkhead", 2),  # repeated term: distinctness matters
+    ("machine learning", 1),     # parity on (near-)empty set
+]
+
+
+@pytest.mark.parametrize("phrase,slop", MOVES_CASES)
+def test_movable_phrase_parity(pos_engine, oracle_index, phrase, slop):
+    """Kernel (greedy interval matching) vs the oracle's brute-force
+    assignment enumeration — agreement exercises the greedy-optimality
+    argument for the move-based semantics."""
+    want = oracle_index.movable_phrase_query(phrase, slop)
+    got = {
+        r["doc_id"]: list(r["start_positions"])
+        for r in pos_engine.phrase_plan(
+            phrase, slop=slop, slop_mode="moves"
+        ).collect()
+    }
+    assert got == want, (phrase, slop)
+
+
+def test_moves_strictly_widens_ordered(oracle_index):
+    """Non-vacuous transposition coverage: at slop >= 2 the move-based
+    match set must be a superset of ordered, strictly bigger for at
+    least one case (docs with swapped word order)."""
+    strictly = 0
+    for phrase, slop in MOVES_CASES[:5]:
+        ordered = oracle_index.sloppy_phrase_query(phrase, slop)
+        moves = oracle_index.movable_phrase_query(phrase, slop)
+        for doc, starts in ordered.items():
+            assert set(starts) <= set(moves.get(doc, [])), (phrase, doc)
+        if moves.keys() - ordered.keys():
+            strictly += 1
+    assert strictly > 0
+
+
+@pytest.mark.parametrize("phrase", ["pu faducafib", "gahabutew pu"])
+def test_moves_equals_ordered_at_low_slop(pos_engine, phrase):
+    """At slop <= 1 a transposition (cost 2) cannot fire: the two modes
+    must return identical plans."""
+    for slop in (0, 1):
+        a = sorted(
+            (r["doc_id"], tuple(r["start_positions"]))
+            for r in pos_engine.phrase_plan(phrase, slop=slop).collect()
+        )
+        b = sorted(
+            (r["doc_id"], tuple(r["start_positions"]))
+            for r in pos_engine.phrase_plan(
+                phrase, slop=slop, slop_mode="moves"
+            ).collect()
+        )
+        assert a == b, (phrase, slop)
+
+
+@pytest.mark.parametrize("phrase,slop", MOVES_CASES[:4])
+def test_turbo_moves_matches_plan(spark, pos_engine, phrase, slop):
+    """Driver-side turbo phrase with slop_mode='moves' ≡ the kernel
+    plan (same docs, same occurrence counts)."""
+    turbo = QueryEngine(spark, pos_engine.index_dir, turbo=True)
+    res = turbo.phrase(phrase, k=1000, slop=slop, slop_mode="moves")
+    plan = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in pos_engine.phrase_plan(
+            phrase, slop=slop, slop_mode="moves"
+        ).collect()
+    }
+    got = {r["doc_id"]: int(r["score"]) for r in res["results"]}
+    assert got == plan, (phrase, slop)
+    assert res["total_hits"] == len(plan)
