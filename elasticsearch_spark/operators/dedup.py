@@ -68,26 +68,94 @@ def minhash_signatures(df: DataFrame, id_col: str, tokens_col: str,
     )
 
 
+def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
+                       with_hash: bool) -> DataFrame:
+    """Self-pairs within (q, qk) buckets — the shared candidate
+    generator behind every band-bucket near-dup path.
+
+    ``banded`` carries (id, q, qk[, h]).  Without ``cap`` this is the
+    plain triangular self-join: a bucket of n members emits n(n−1)/2
+    candidates — quadratic, and a dense duplicate CLUSTER (the skew
+    case real web corpora always have) makes one bucket dominate the
+    whole job.  With ``cap``, buckets larger than ``cap`` switch to
+    STAR form: every member pairs with the bucket's min-id
+    representative only (n−1 candidates, linear).  Star pairing
+    preserves the CONNECTED COMPONENTS of the candidate graph exactly —
+    within one bucket, all-pairs and star have identical components —
+    which is the property dedup clustering consumes; what it gives up
+    is the explicit member×member pair list inside an over-cap bucket
+    (those pairs reach each other through the representative).  This is
+    a semantic guarantee, not silent truncation: no member ever drops
+    out of the candidate graph.
+
+    Cost: one extra window shuffle on the band key; the join side is
+    bounded by cap²/2 per bucket + n−1 star rows."""
+    cols = ["id", "q", "qk"] + (["h"] if with_hash else [])
+    banded = banded.select(*cols)
+    if with_hash:
+        sel_a = [F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                 F.col("a.h").alias("ha"), F.col("b.h").alias("hb")]
+    else:
+        sel_a = [F.col("a.id").alias("a"), F.col("b.id").alias("b")]
+    if cap is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.q") == F.col("b.q"))
+                & (F.col("a.qk") == F.col("b.qk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(*sel_a)
+            .distinct()
+        )
+    w = Window.partitionBy("q", "qk")
+    rep_struct = F.min(
+        F.struct("id", *(["h"] if with_hash else []))
+    ).over(w)
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", rep_struct
+    )
+    small = sized.filter(F.col("_n") <= cap).drop("_n", "_rep")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.q") == F.col("b.q"))
+        & (F.col("a.qk") == F.col("b.qk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(*sel_a)
+    star_sel = [F.col("_rep.id").alias("a"), F.col("id").alias("b")]
+    if with_hash:
+        star_sel += [F.col("_rep.h").alias("ha"), F.col("h").alias("hb")]
+    star_pairs = (
+        sized.filter(F.col("_n") > cap)
+        .filter(F.col("id") != F.col("_rep.id"))
+        .select(*star_sel)
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
                       n_hashes: int = 32, bands: int = 8,
-                      verify_threshold: Optional[float] = None) -> DataFrame:
+                      verify_threshold: Optional[float] = None,
+                      bucket_cap: Optional[int] = None) -> DataFrame:
     """LSH candidate pairs (a, b); with ``verify_threshold`` also
-    computes exact Jaccard on candidates and filters (a, b, jaccard)."""
+    computes exact Jaccard on candidates and filters (a, b, jaccard).
+    ``bucket_cap`` bounds the per-bucket quadratic blowup from dense
+    duplicate clusters: over-cap band buckets emit min-id-representative
+    STAR pairs instead of all-pairs (components preserved — see
+    :func:`_bucket_self_pairs`); the 100-TB skew guard."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, tokens_col, n_hashes)
     band_sig = sig.groupBy(
         "id", (F.col("perm") / rows_per_band).cast("int").alias("band")
     ).agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("perm", "minhash")))).alias("bh"))
-    a, b = band_sig.alias("a"), band_sig.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
+    pairs = _bucket_self_pairs(
+        band_sig.select(
+            "id", F.col("band").alias("q"), F.col("bh").alias("qk")
+        ),
+        bucket_cap,
+        with_hash=False,
     )
     if verify_threshold is None:
         return pairs
@@ -155,7 +223,8 @@ def simhash64(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens") ->
 def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
                        hash_col: str = "simhash", n_bits: int = 64,
                        n_bands: Optional[int] = None,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: Optional[int] = None) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) over ANY precomputed ≤64-bit hash
     column, via the band pigeonhole: split the hash into ``n_bands``
     contiguous bit bands — a pair within Hamming distance n_bands − 1
@@ -171,7 +240,15 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
     fingerprint column.  Band keys mask away arithmetic-shift sign
     extension (negative hashes band correctly), and bands past the top
     bit are constant 0 (Java shifts wrap mod 64, so ``h >> 64`` must
-    never be emitted)."""
+    never be emitted).
+
+    ``bucket_cap`` bounds the per-bucket quadratic blowup from dense
+    duplicate clusters — over-cap band buckets emit STAR pairs via the
+    min-id representative (components preserved; see
+    :func:`_bucket_self_pairs`).  Note the Hamming filter then applies
+    to the rep×member pairs only: an over-cap bucket's members are
+    near-dups of the representative, the transitive member×member
+    distances are not re-verified (the dedup-clustering contract)."""
     if n_bands is None:
         n_bands = max_hamming + 1
     elif max_hamming > n_bands - 1:
@@ -200,22 +277,7 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
     banded = bands[0]
     for qdf in bands[1:]:
         banded = banded.unionByName(qdf)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qk") == F.col("b.qk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
-        )
-        .distinct()
-    )
+    cand = _bucket_self_pairs(banded, bucket_cap, with_hash=True)
     return (
         cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
@@ -224,16 +286,18 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: Optional[int] = None) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) via the band pigeonhole (e.g. the
     classic 4x16-bit quarters for max_hamming=3): any pair within
     Hamming distance n_bands−1 shares at least one band exactly; bands
     auto-size to max_hamming+1 so the candidate set is always
-    complete."""
+    complete.  ``bucket_cap``: dense-cluster skew guard (star pairs for
+    over-cap buckets, see :func:`hamming_near_pairs`)."""
     sig = simhash64(df, id_col, tokens_col)
     return hamming_near_pairs(
         sig, id_col="id", hash_col="simhash", n_bits=64,
-        max_hamming=max_hamming,
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
     )
 
 

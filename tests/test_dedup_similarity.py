@@ -273,3 +273,76 @@ def test_ivf_append_matches_one_shot_assignment(clustered_vectors, tmp_path):
     assert any(i >= 30 for i, _c in got)
     # reload sees the appended generation
     assert IvfIndex(spark, path).assigned.count() == 45
+
+
+# -------------------------------------------- bucket skew cap (star form)
+
+@pytest.fixture(scope="module")
+def pathological_docs(spark):
+    """An all-identical duplicate cluster of 40 docs + 2 outliers — one
+    band bucket holds the whole cluster, the quadratic worst case."""
+    dup = "spark shuffles partitions under adaptive execution today".split()
+    rows = [(f"c{i:02d}", " ".join(dup), dup) for i in range(40)]
+    rows += [
+        ("x0", "totally different first outlier document", None),
+        ("x1", "another unrelated outlier about databases", None),
+    ]
+    rows = [(i, t, t.split()) for i, t, _x in rows]
+    return spark.createDataFrame(
+        rows, "url string, text string, tokens array<string>"
+    )
+
+
+def test_minhash_bucket_cap_star(pathological_docs):
+    """With bucket_cap below the cluster size, candidates collapse to
+    the n-1 star pairs (bounded, linear) instead of n(n-1)/2; all star
+    pairs verify at jaccard 1.0 and the cluster stays one connected
+    component via the min-id representative."""
+    n = 40
+    uncapped = dedup.minhash_lsh_pairs(pathological_docs).count()
+    assert uncapped >= n * (n - 1) // 2  # the quadratic baseline
+    capped = dedup.minhash_lsh_pairs(
+        pathological_docs, bucket_cap=8, verify_threshold=0.9
+    ).collect()
+    assert len(capped) == n - 1
+    assert all(r["a"] == "c00" for r in capped)  # min-id representative
+    assert {r["b"] for r in capped} == {f"c{i:02d}" for i in range(1, n)}
+    assert all(r["jaccard"] == 1.0 for r in capped)
+
+
+def test_minhash_bucket_cap_noop_when_under_cap(docs):
+    """Buckets under the cap keep EXACT all-pairs semantics: capped and
+    uncapped runs are identical on a skew-free corpus."""
+    base = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(docs, bucket_cap=1000).collect()
+    }
+    assert capped == base
+
+
+def test_hamming_bucket_cap_star(pathological_docs):
+    """Same guard on the generic Hamming band path: the identical
+    cluster (equal simhash) emits exactly n-1 star pairs at hamming 0,
+    and the representative's hash rides into verification correctly."""
+    n = 40
+    capped = dedup.simhash_near_pairs(
+        pathological_docs, max_hamming=3, bucket_cap=8
+    ).collect()
+    cluster = [r for r in capped if r["a"].startswith("c")]
+    assert len(cluster) == n - 1
+    assert all(r["a"] == "c00" and r["hamming"] == 0 for r in cluster)
+
+
+def test_hamming_bucket_cap_noop_when_under_cap(docs):
+    base = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    capped = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(
+            docs, max_hamming=8, bucket_cap=1000
+        ).collect()
+    }
+    assert capped == base
