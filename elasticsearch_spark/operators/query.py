@@ -1062,6 +1062,41 @@ class QueryEngine:
             ],
         }
 
+    def phrase_scored_plan(self, phrase: str, slop: int = 0,
+                           slop_mode: str = "ordered",
+                           method: str = "bm25") -> DataFrame:
+        """ES-scored ``match_phrase``: Lucene treats the phrase as one
+        pseudo-term whose idf is the SUM of the member terms' idfs (one
+        contribution per phrase POSITION, so a repeated term counts
+        each time) and whose tf is the per-doc phrase frequency
+        (``n_occurrences``); the usual BM25/TF-IDF saturation applies
+        on top.  Returns (doc_id, n_occurrences, score) — the scoring
+        twin of :meth:`phrase_plan` (same match set).
+
+        Plan shape: the doc-range phrase kernel (bounded shuffle of the
+        phrase terms' block runs) → broadcast-sized join to the live
+        docs table for doc_len — match sets are hit-set-sized, never
+        corpus-sized."""
+        self._refresh_if_stale()
+        terms = self._phrase_terms_checked(phrase)
+        base = self.phrase_plan(phrase, slop, slop_mode)
+        idf_map = self.term_idf(sorted(set(terms)))
+        sum_idf = float(sum(idf_map.get(t, 0.0) for t in terms))
+        k1, b = self.k1, self.b
+        dl = self._docs.select("doc_id", "doc_len")
+        j = base.join(dl, "doc_id").filter(F.col("doc_len") > 0)
+        pf = F.col("n_occurrences").cast("double")
+        if method == "bm25":
+            score = F.lit(sum_idf) * (
+                (pf * (k1 + 1))
+                / (pf + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len))))
+            )
+        elif method == "tfidf":
+            score = F.lit(sum_idf) * (pf / F.col("doc_len"))
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        return j.select("doc_id", "n_occurrences", score.alias("score"))
+
     def _mpp_slots(self, phrase: str,
                    max_expansions: int) -> Optional[List[List[str]]]:
         """Slots for ES ``match_phrase_prefix``: analyzed phrase terms

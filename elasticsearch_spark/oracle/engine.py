@@ -274,6 +274,39 @@ class OracleIndex:
                 out[doc] = sorted(starts)
         return out
 
+    def phrase_bm25_scores(self, phrase: str, slop: int = 0,
+                           slop_mode: str = "ordered",
+                           method: str = "bm25",
+                           pretokenized_query: bool = False
+                           ) -> Dict[int, Tuple[int, float]]:
+        """doc_id -> (phrase_freq, score) under Lucene's phrase scoring:
+        idf = SUM of member-term idfs (one per phrase position), tf =
+        per-doc phrase occurrence count, standard BM25/TF-IDF saturation
+        (the scoring twin of the engine's ``phrase_scored_plan``)."""
+        terms = phrase.split() if pretokenized_query else preprocess_query(phrase)
+        if not terms:
+            return {}
+        if slop == 0:
+            matches = self.phrase_query(phrase, pretokenized_query)
+        elif slop_mode == "moves":
+            matches = self.movable_phrase_query(phrase, slop, pretokenized_query)
+        else:
+            matches = self.sloppy_phrase_query(phrase, slop, pretokenized_query)
+        sum_idf = sum(self.idf.get(t, 0.0) for t in terms)
+        out: Dict[int, Tuple[int, float]] = {}
+        for doc, starts in matches.items():
+            dl = self.doc_len[doc]
+            if dl <= 0:
+                continue
+            pf = len(starts)
+            if method == "bm25":
+                s = scoring.bm25(pf, dl, self.avg_doc_len, sum_idf,
+                                 self.k1, self.b)
+            else:
+                s = scoring.tfidf(pf, dl, sum_idf)
+            out[doc] = (pf, s)
+        return out
+
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
         rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))

@@ -869,6 +869,52 @@ def engine_phrase_slop(spark, sf_dir):
     )
 
 
+def _phrase_bm25_sql(terms, k1=K1, b=B, k=10) -> str:
+    """Lucene phrase-scoring oracle: idf = sum of member-term idfs, tf
+    = per-doc phrase frequency (adjacency count), BM25 saturation."""
+    n = len(terms)
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        for i in range(1, n)
+    )
+    conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+    return f"""WITH {_TOK_CTE},
+t2 AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+pos AS (SELECT doc_id, L[i] AS term, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t2)),
+m AS (SELECT p0.doc_id, count(*)::BIGINT AS n_occ
+      FROM pos p0 {joins} WHERE {conds} GROUP BY p0.doc_id),
+sidf AS (SELECT sum(ln((corpus.n + 1)::DOUBLE / (x.df + 1)::DOUBLE)) AS v
+         FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+               WHERE term IN ({_sql_terms(terms)}) GROUP BY term) x, corpus),
+scored AS (SELECT m.doc_id, m.n_occ,
+                  sidf.v * ((m.n_occ * ({k1} + 1)) /
+                      (m.n_occ + {k1} * (1 - {b} + {b} * (dl.doc_len / corpus.avgdl)))) AS score
+           FROM m JOIN dl ON m.doc_id = dl.doc_id, sidf, corpus)
+SELECT doc_id, n_occ, round(score, 6) AS score_r FROM scored
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_phrase_bm25", _phrase_bm25_sql(PHRASE_2))
+def engine_phrase_bm25(spark, sf_dir):
+    """ES-SCORED match_phrase (Lucene semantics): the phrase acts as
+    one pseudo-term — idf is the sum of member idfs, tf is the per-doc
+    phrase frequency — with standard BM25 saturation.  Served by the
+    positional kernel joined to the live docs table for doc_len."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.phrase_scored_plan(" ".join(PHRASE_2))
+        .select(
+            "doc_id",
+            F.col("n_occurrences").alias("n_occ"),
+            F.round("score", 6).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
 PHRASE_MOVES_2 = ["hash", "table"]  # reversed PHRASE_2: transpositions
 
 

@@ -67,6 +67,14 @@ def get_spark(app_name: str = "elasticsearch-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # deterministic timestamps
         .config("spark.sql.session.timeZone", "UTC")
+        # task-side output commit (v2): the v1 driver-serial rename of
+        # every part file after each parquet job is a per-stage FIXED
+        # cost that never scales with executors — v2 commits during the
+        # task.  Durability note: a task killed mid-commit can leave a
+        # partial file, but every table the engine writes is gated by
+        # its own manifest/_SUCCESS commit point (operators/build.py),
+        # so an unfinished table is never read.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # local mode niceties
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

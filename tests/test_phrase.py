@@ -498,3 +498,41 @@ def test_turbo_moves_matches_plan(spark, pos_engine, phrase, slop):
     got = {r["doc_id"]: int(r["score"]) for r in res["results"]}
     assert got == plan, (phrase, slop)
     assert res["total_hits"] == len(plan)
+
+
+# ----------------------------------------- ES-scored match_phrase (BM25)
+
+@pytest.mark.parametrize("phrase,slop,mode", [
+    ("machine learning", 0, "ordered"),
+    ("pu faducafib", 2, "ordered"),
+    ("faducafib pu", 2, "moves"),
+    ("sparkhead sparkhead", 2, "moves"),
+])
+def test_phrase_bm25_scores_match_oracle(pos_engine, oracle_index, phrase,
+                                         slop, mode):
+    """phrase_scored_plan (Lucene pseudo-term scoring: summed idf x
+    BM25 saturation of phrase frequency) ≡ the oracle recompute."""
+    want = oracle_index.phrase_bm25_scores(phrase, slop, mode)
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["score"])
+        for r in pos_engine.phrase_scored_plan(
+            phrase, slop=slop, slop_mode=mode
+        ).collect()
+    }
+    assert set(got) == set(want), (phrase, slop, mode)
+    for d, (pf, s) in want.items():
+        assert got[d][0] == pf, (phrase, d)
+        assert abs(got[d][1] - s) < 1e-9, (phrase, d)
+
+
+def test_phrase_bm25_tfidf_variant(pos_engine, oracle_index):
+    want = oracle_index.phrase_bm25_scores("machine learning", method="tfidf")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in pos_engine.phrase_scored_plan(
+            "machine learning", method="tfidf"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, (_pf, s) in want.items():
+        assert abs(got[d] - s) < 1e-9

@@ -343,3 +343,53 @@ def test_turbo_lru_never_evicts_current_call_terms(spark, index_dir):
             eng._postings_point_read(list(pair))
     finally:
         eng.TURBO_CACHE_MAX_POSTINGS = old
+
+
+def _vm_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    raise RuntimeError("no VmRSS")
+
+
+def test_turbo_warm_loop_memory_budget(spark, index_dir):
+    """Turbo-tier memory receipt: a 100-query warm loop must stay
+    inside a stated driver budget — the LRU caches are size-bounded by
+    construction (postings-row / byte accounting), and the Python
+    driver's resident set must not grow past the budget across the
+    loop (the caches are the only per-query state the tier keeps)."""
+    import itertools
+
+    from elasticsearch_spark.operators.wand import WandEngine
+
+    eng = QueryEngine(spark, index_dir, turbo=True)
+    wand = WandEngine(spark, index_dir)
+    vocab = [
+        r["term"]
+        for r in spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        .orderBy(F.col("df").desc())
+        .limit(40)
+        .collect()
+    ]
+    queries = [
+        " ".join(pair) for pair in itertools.combinations(vocab[:20], 2)
+    ][:100]
+    assert len(queries) == 100
+    # warm once so JVM/py4j startup noise is outside the measurement
+    eng.ranked(queries[0], k=10)
+    wand.topk(queries[0], k=10)
+    rss0 = _vm_rss_mb()
+    for q in queries:
+        eng.ranked(q, k=10)
+    for q in queries[:25]:
+        wand.topk(q, k=10)
+    rss1 = _vm_rss_mb()
+    growth = rss1 - rss0
+    # stated budget: cache ceilings (5M postings-rows ~ 90 MB of int64
+    # arrays + 256 MB block bytes) dominate; the warm loop on this
+    # corpus touches a fraction of either — growth must stay far below
+    # the ceilings and never scale with query count.
+    assert eng._term_cache_rows <= eng.TURBO_CACHE_MAX_POSTINGS
+    assert wand._block_cache_bytes <= wand.TURBO_CACHE_MAX_BYTES
+    assert growth < 192.0, f"driver RSS grew {growth:.1f} MB over 125 warm queries"

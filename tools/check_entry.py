@@ -3,7 +3,11 @@
 given sf dir, compare row count, column names, and order-insensitive
 values (floats to 1e-9 after the queries' own rounding).
 
-Usage: python tools/check_entry.py [sf_dir] [query ...]
+Usage: python tools/check_entry.py [--receipt] [sf_dir] [query ...]
+
+``--receipt`` additionally writes ``CHECK_ALL.json`` at the repo root —
+the per-round proof that the FULL registry (not just the driver's
+~50-query sample) was run green before shipping.
 """
 
 from __future__ import annotations
@@ -39,8 +43,12 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    receipt = "--receipt" in args
+    if receipt:
+        args.remove("--receipt")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from elasticsearch_spark.session import get_spark
@@ -98,6 +106,32 @@ def main():
             print(f"PASS  {name:26s} rows={len(srows)} {time.time()-t0:.1f}s")
 
     print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if receipt:
+        import json
+        import datetime
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CHECK_ALL.json",
+        )
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "when_utc": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                    "sf_dir": os.path.abspath(sf_dir),
+                    "n_registered": len(qs),
+                    "n_run": n_run,
+                    "n_passed": n_run - len(failures),
+                    "failures": [
+                        {"query": n, "problem": p} for n, p in failures
+                    ],
+                },
+                f,
+                indent=2,
+            )
+        print(f"receipt -> {path}")
     if failures:
         sys.exit(1)
 

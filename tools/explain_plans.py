@@ -125,6 +125,29 @@ def main():
         .agg(F.sum("ub").alias("ub"))
     ).explain("formatted")
 
+    print("=" * 70, "\n## multi_match best_fields plan (expect TWO per-field pruned")
+    print("## scans + ONE final doc_id HashAggregate exchange, no cartesian)\n", "=" * 70)
+    from elasticsearch_spark.operators.multifield import (
+        MultiFieldIndexBuilder,
+        MultiMatchEngine,
+    )
+
+    mf_idx = "/tmp/es_spark_explain_mf"
+    shutil.rmtree(mf_idx, ignore_errors=True)
+    docs_mf = spark.createDataFrame(corpus_rows(200), schema).withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ")
+    )
+    MultiFieldIndexBuilder(
+        spark, mf_idx, ["title", "text"],
+        IndexConfig(n_buckets=8, doc_range_bits=6, use_html=False),
+    ).build(docs_mf)
+    mm = MultiMatchEngine(spark, mf_idx)
+    mm_df = mm.multi_match_plan(f"{t1} {t2}", fields=["title^2", "text"])
+    mm_df.explain("formatted")
+    mm_plan = mm_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in mm_plan, "multi_match has a cartesian join"
+    print("## OK: no CartesianProduct in multi_match")
+
 
 if __name__ == "__main__":
     main()
