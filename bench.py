@@ -251,7 +251,7 @@ def _is_boolean(q: str) -> bool:
 
 
 # ------------------------------------------------------------ A/B vs prev round
-PREV_TAG = os.environ.get("SPARK_GRAFT_AB_TAG", "r2")
+PREV_TAG = os.environ.get("SPARK_GRAFT_AB_TAG", "r3")
 
 
 def _load_prev_package(tag: str):

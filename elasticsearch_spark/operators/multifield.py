@@ -212,13 +212,23 @@ class MultiMatchEngine:
     def multi_match_plan(self, query: str, fields: FieldsArg = None,
                          match_type: str = "best_fields",
                          tie_breaker: float = 0.0,
-                         method: str = "bm25") -> Optional[DataFrame]:
+                         method: str = "bm25",
+                         slop: int = 0,
+                         slop_mode: str = "ordered") -> Optional[DataFrame]:
         """(doc_id, score) for the multi_match — no truncation.  None
         when no field has a live query term (ES: zero hits).  Per-field
         ``match`` scores come from each field engine's
         :meth:`~.query.QueryEngine.score_plan` (field-local idf/avgdl),
-        × boost; the combine is one groupBy(doc_id)."""
-        if match_type not in ("best_fields", "most_fields"):
+        × boost; the combine is one groupBy(doc_id).
+
+        ``match_type="phrase"`` runs ES's phrase multi_match: each
+        field evaluates the query as a scored ``match_phrase``
+        (:meth:`~.query.QueryEngine.phrase_scored_plan` — Lucene
+        pseudo-term scoring; honors ``slop``/``slop_mode``) and the
+        per-field scores combine dis_max-style (best + tie_breaker ×
+        rest), exactly how ES compiles it.  Requires positional
+        sub-indexes."""
+        if match_type not in ("best_fields", "most_fields", "phrase"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
         plans = []
@@ -227,7 +237,11 @@ class MultiMatchEngine:
             if eng is None:
                 raise KeyError(f"field {fname!r} is not indexed "
                                f"(have {self.fields})")
-            p = eng.score_plan(query, method)
+            if match_type == "phrase":
+                p = eng.phrase_scored_plan(query, slop, slop_mode, method)
+                p = p.filter(F.col("n_occurrences") > 0).select("doc_id", "score")
+            else:
+                p = eng.score_plan(query, method)
             if p is not None:
                 plans.append(
                     p.select(
@@ -350,22 +364,24 @@ class MultiMatchEngine:
     def multi_match(self, query: str, k: int = 10, fields: FieldsArg = None,
                     match_type: str = "best_fields",
                     tie_breaker: float = 0.0, method: str = "bm25",
+                    slop: int = 0, slop_mode: str = "ordered",
                     with_total_hits: bool = True) -> dict:
         """Reference result shape ``{query, total_hits, results}``
         (``elasticsearch_indexer.py:135-148``), deterministic
         (score desc, doc_id asc) tie-break.  total_hits counts docs
         matching in ANY queried field (ES semantics)."""
-        if match_type not in ("best_fields", "most_fields"):
+        if match_type not in ("best_fields", "most_fields", "phrase"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
-        res = self._turbo_multi_match(
-            query, k, boosts, match_type, tie_breaker, method,
-            with_total_hits,
-        )
-        if res is not None:
-            return res
+        if match_type != "phrase":  # phrase serves from the plan tier
+            res = self._turbo_multi_match(
+                query, k, boosts, match_type, tie_breaker, method,
+                with_total_hits,
+            )
+            if res is not None:
+                return res
         plan = self.multi_match_plan(query, boosts, match_type,
-                                     tie_breaker, method)
+                                     tie_breaker, method, slop, slop_mode)
         if plan is None:
             return {
                 "query": query,

@@ -429,3 +429,33 @@ def multi_match_query(field_indexes: Dict[str, OracleIndex],
         "total_hits": len(doc_scores),
         "results": [{"doc_id": d, "score": s} for d, s in ranked],
     }
+
+
+def multi_match_phrase_query(field_indexes: Dict[str, OracleIndex],
+                             boosts: Dict[str, float], phrase: str,
+                             k: int = 10, slop: int = 0,
+                             slop_mode: str = "ordered",
+                             tie_breaker: float = 0.0,
+                             method: str = "bm25",
+                             pretokenized_query: bool = False) -> dict:
+    """ES ``multi_match`` ``type: phrase`` oracle: each field evaluates
+    the query as a scored match_phrase (Lucene pseudo-term scoring,
+    :meth:`OracleIndex.phrase_bm25_scores`) × boost; per doc the fields
+    combine dis_max-style (best + tie_breaker × rest)."""
+    per_field: Dict[int, List[float]] = {}
+    for fname, boost in boosts.items():
+        scores = field_indexes[fname].phrase_bm25_scores(
+            phrase, slop, slop_mode, method, pretokenized_query
+        )
+        for doc_id, (_pf, s) in scores.items():
+            per_field.setdefault(doc_id, []).append(s * boost)
+    combined = {
+        d: max(v) + tie_breaker * (sum(v) - max(v))
+        for d, v in per_field.items()
+    }
+    ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": phrase,
+        "total_hits": len(combined),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }

@@ -512,7 +512,7 @@ def _mf_engine(spark, sf_dir):
 
     cfg = IndexConfig(
         n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True,
-        use_html=False,
+        use_html=False, positional=True,
     )
     key = os.path.abspath(sf_dir) + repr(cfg) + ":multifield"
     if key not in _ENGINE_CACHE:
@@ -602,6 +602,63 @@ def engine_multi_match_tie(spark, sf_dir):
     plan = eng.multi_match_plan(
         " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
         tie_breaker=0.3,
+    )
+    return _topk(plan, 10)
+
+
+def _multi_match_phrase_sql(terms, boosts=((2.0, 3), (1.0, 0)),
+                            tie_breaker=0.0, k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for multi_match ``type: phrase`` over the derived
+    title/text pair: per field, adjacency phrase counts scored the
+    Lucene way (summed member idf × BM25 saturation of phrase freq,
+    field-local statistics) × boost, combined dis_max-style."""
+    n = len(terms)
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        joins = " ".join(
+            f"JOIN pos{i} p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+            for j in range(1, n)
+        )
+        conds = " AND ".join(f"p{j}.term = '{t}'" for j, t in enumerate(terms))
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+pos{i} AS (SELECT doc_id, L[i] AS term, i
+           FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i
+                 FROM (SELECT doc_id, {toks} AS L
+                       FROM documents WHERE lang = 'en'))),
+m{i} AS (SELECT p0.doc_id, count(*)::BIGINT AS n_occ
+         FROM pos{i} p0 {joins} WHERE {conds} GROUP BY p0.doc_id),
+sidf{i} AS (SELECT sum(ln((c{i}.n + 1)::DOUBLE / (x.df + 1)::DOUBLE)) AS v
+            FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok{i}
+                  WHERE term IN ({_sql_terms(terms)}) GROUP BY term) x, c{i}),
+s{i} AS (SELECT m.doc_id,
+                {boost} * sidf{i}.v * ((m.n_occ * ({k1} + 1)) /
+                    (m.n_occ + {k1} * (1 - {b} + {b} * (dl.doc_len / c{i}.avgdl)))) AS s
+         FROM m{i} m JOIN dl{i} dl ON m.doc_id = dl.doc_id, sidf{i}, c{i})""")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, s FROM s{i}" for i in range(len(boosts))
+    )
+    return f"""WITH {','.join(parts)},
+u AS ({unions}),
+comb AS (SELECT doc_id, max(s) + {tie_breaker} * (sum(s) - max(s)) AS score
+         FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_multi_match_phrase", _multi_match_phrase_sql(PHRASE_2))
+def engine_multi_match_phrase(spark, sf_dir):
+    """ES multi_match ``type: phrase`` over title^2/text: each field
+    runs the scored match_phrase (positional kernel + Lucene pseudo-term
+    BM25 with field-local stats), combined dis_max-style per doc."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(PHRASE_2), fields=["title^2", "text"], match_type="phrase"
     )
     return _topk(plan, 10)
 

@@ -54,7 +54,7 @@ VARIANTS = [
 ]
 
 CFG = IndexConfig(n_buckets=8, doc_range_bits=6, lang=None,
-                  pretokenized=False, use_html=False)
+                  pretokenized=False, use_html=False, positional=True)
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -188,6 +188,52 @@ def test_update_add_matches_rebuild(spark, tmp_index_root, rows, oracles):
         _assert_same(got, want, query)
 
 
+@pytest.mark.parametrize("phrase,slop,mode", [
+    ("machine learning", 0, "ordered"),
+    ("machine learning", 2, "ordered"),
+    ("learning machine", 2, "moves"),
+])
+def test_multi_match_phrase_matches_oracle(mf_engine, oracles, phrase,
+                                           slop, mode):
+    """multi_match type=phrase: per-field scored match_phrase combined
+    dis_max-style ≡ the per-field oracle composition."""
+    from elasticsearch_spark.oracle.engine import multi_match_phrase_query
+
+    got = mf_engine.multi_match(
+        phrase, k=10, fields=["title^2", "text"], match_type="phrase",
+        slop=slop, slop_mode=mode,
+    )
+    want = multi_match_phrase_query(
+        oracles, BOOSTS, phrase, k=10, slop=slop, slop_mode=mode
+    )
+    _assert_same(got, want, f"{phrase!r} slop={slop} {mode}")
+
+
+def test_multi_match_phrase_title_hits_nonvacuous(mf_engine, oracles, rows):
+    """Non-vacuous phrase coverage: find a bigram that actually occurs
+    inside titles in this corpus and require engine ≡ oracle on it
+    (both fields contributing, boost applied)."""
+    from elasticsearch_spark.oracle.engine import multi_match_phrase_query
+
+    found = None
+    for _i, _u, title, _x in rows[:100]:
+        words = title.split()
+        for j in range(len(words) - 1):
+            cand = f"{words[j]} {words[j + 1]}"
+            if oracles["title"].phrase_bm25_scores(cand):
+                found = cand
+                break
+        if found:
+            break
+    assert found, "no title bigram survives the pipeline — fixture drifted"
+    got = mf_engine.multi_match(
+        found, k=1000, fields=["title^2", "text"], match_type="phrase"
+    )
+    want = multi_match_phrase_query(oracles, BOOSTS, found, k=1000)
+    assert want["results"]
+    _assert_same(got, want, found)
+
+
 def test_reference_queryset_multi_match(mf_engine, oracles):
     """Golden-suite extension (boosted-title cases): every ranked query
     from the reference's own queryset fixture, served as ES would serve
@@ -236,4 +282,5 @@ def test_unsupported_type_raises(mf_engine):
     with pytest.raises(ValueError):
         mf_engine.multi_match_plan("machine", BOOSTS, match_type="cross_fields")
     with pytest.raises(ValueError):
-        mf_engine.multi_match("machine", fields=BOOSTS, match_type="phrase")
+        mf_engine.multi_match("machine", fields=BOOSTS,
+                              match_type="bool_prefix")
