@@ -1127,15 +1127,21 @@ class IndexBuilder:
                     (int(t) for t in manifest.get("tombstones", [])), default=-1
                 )
                 next_id = max(alive_max, tomb_max) + 1
-            if "url" in add.columns:
+            if "doc_id" in add.columns:
+                # caller-managed ids, same precedence as build()'s
+                # prepare_docs: preserved VERBATIM.  Required for
+                # multi-field updates — every field sub-index must see
+                # the SAME id for the same doc no matter how the stream
+                # partitioned the rows into micro-batches (fresh
+                # per-batch assignment would permute ids per batch).
+                # The caller guarantees no collision with live or
+                # tombstoned ids.
+                new_docs = self.prepare_docs(add)
+            else:
                 # fresh ids by url order, offset past the existing range
-                new_docs = self.prepare_docs(add.drop("doc_id")).withColumn(
+                new_docs = self.prepare_docs(add).withColumn(
                     "doc_id", F.col("doc_id") + F.lit(int(next_id))
                 )
-            else:
-                # caller-managed ids (e.g. the driver testdata shape);
-                # the caller guarantees no collision with live ids
-                new_docs = self.prepare_docs(add)
             seg_name = segment_name or f"seg_{len(manifest['segments']):05d}"
             # tokenize-once for the segment (same rationale as build())
             tok_path = self._path("segments", seg_name, "tokens")
@@ -1151,7 +1157,12 @@ class IndexBuilder:
             seg_stats["avgdl_at_encode"] = avgdl_now
             manifest["segments"][seg_name] = seg_stats
             manifest.setdefault("delta_segments", []).append(seg_name)
-            manifest["next_doc_id"] = int(next_id) + seg_stats["n_docs"]
+            # advance past BOTH the fresh-id range and any caller-managed
+            # ids (whose max can exceed next_id + n_docs)
+            manifest["next_doc_id"] = max(
+                int(next_id) + seg_stats["n_docs"],
+                int(seg_stats.get("max_doc_id", -1) or -1) + 1,
+            )
 
         stats["doc_count"] = doc_count
         stats["sum_doc_len"] = sum_len

@@ -147,3 +147,53 @@ def stream_update(spark: SparkSession, input_dir: str, index_dir: str,
     )
     query.awaitTermination()
     return builder._load_manifest()
+
+
+def stream_update_multifield(spark: SparkSession, input_dir: str,
+                             index_dir: str, schema: T.StructType,
+                             checkpoint_dir: Optional[str] = None,
+                             max_files_per_trigger: int = 4,
+                             compact: object = "auto",
+                             transform=None) -> dict:
+    """Continuous O(delta) ingestion into an EXISTING multi-field index
+    (operators/multifield.py): each micro-batch becomes one delta
+    segment in EVERY field sub-index, under one shared batch-derived
+    segment name — so a replayed micro-batch is a no-op in every field
+    and the fields can never drift apart (a batch that crashed midway
+    re-runs; fields that already committed the segment skip it).
+
+    ``schema`` describes the input files (multi-field inputs vary);
+    ``transform`` optionally derives field columns (e.g. a title) from
+    the raw batch before the update.  Same exactly-once pairing as
+    :func:`stream_update`: Spark checkpoint for offsets, manifest
+    segment names for idempotent commits."""
+    from ..operators.multifield import MultiFieldIndexBuilder
+
+    builder = MultiFieldIndexBuilder.open(spark, index_dir)
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        index_dir, "_stream_upd_checkpoint"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        if transform is not None:
+            batch_df = transform(batch_df)
+        builder.update_index(
+            add=batch_df,
+            compact=compact,
+            segment_name=f"stream_u_{batch_id:05d}",
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return {"fields": builder.fields}

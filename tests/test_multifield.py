@@ -284,3 +284,42 @@ def test_unsupported_type_raises(mf_engine):
     with pytest.raises(ValueError):
         mf_engine.multi_match("machine", fields=BOOSTS,
                               match_type="bool_prefix")
+
+
+def test_streaming_update_multifield(spark, tmp_index_root, rows, oracles):
+    """Continuous multi-field ingestion: base build on the first 100
+    docs, the last 50 streamed in as micro-batch delta segments (one
+    shared segment name across fields per batch) — multi_match on the
+    live merged view must equal the full-corpus oracle."""
+    from elasticsearch_spark.oracle.engine import multi_match_query as mmq
+    from elasticsearch_spark.streaming.ingest import stream_update_multifield
+
+    d = os.path.join(tmp_index_root, "multifield_stream")
+    MultiFieldIndexBuilder(spark, d, ["title", "text"], CFG).build(
+        spark.createDataFrame(rows[:100], SCHEMA)
+    )
+    inp = os.path.join(tmp_index_root, "mf_stream_input")
+    (
+        spark.createDataFrame(rows[100:], SCHEMA)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
+    out = stream_update_multifield(
+        spark, inp, d, SCHEMA, max_files_per_trigger=1, compact=False
+    )
+    assert out["fields"] == ["title", "text"]
+    eng = MultiMatchEngine(spark, d)
+    for query in ("machine learning", "running studies dying"):
+        got = eng.multi_match(query, k=10, fields=BOOSTS)
+        want = mmq(oracles, BOOSTS, query, k=10)
+        _assert_same(got, want, query)
+    # replayed stream (same input, same checkpoint) is a no-op
+    again = stream_update_multifield(
+        spark, inp, d, SCHEMA, max_files_per_trigger=1, compact=False
+    )
+    assert again["fields"] == ["title", "text"]
+    eng2 = MultiMatchEngine(spark, d)
+    got = eng2.multi_match("machine learning", k=10, fields=BOOSTS)
+    want = mmq(oracles, BOOSTS, "machine learning", k=10)
+    _assert_same(got, want, "replay")
