@@ -1019,7 +1019,8 @@ class IndexBuilder:
     def update_index(self, add: Optional[DataFrame] = None,
                      remove_urls: Optional[List[str]] = None,
                      compact: object = "auto",
-                     segment_name: Optional[str] = None) -> dict:
+                     segment_name: Optional[str] = None,
+                     remove_doc_ids: Optional[List[int]] = None) -> dict:
         """O(delta) incremental update (B14; reference interface
         ``index_base.py:65-67`` — only the ES backend implemented it,
         ``elasticsearch_indexer.py:151-180``).
@@ -1056,12 +1057,24 @@ class IndexBuilder:
         sum_len = int(stats.get("sum_doc_len") or round(stats["avg_doc_len"] * doc_count))
         n_postings = int(stats["n_postings"])
 
-        if remove_urls:
+        if remove_urls or remove_doc_ids:
             from .reader import live_docs
 
+            # removal by url OR by doc_id (the reference's update API
+            # removes by doc id — elasticsearch_indexer.py:151-166
+            # ``remove_files: List[(doc_id, _)]``); both resolve to the
+            # same (doc_id, doc_len) rows the tombstone math needs
+            cond = (
+                F.col("url").isin(list(remove_urls))
+                if remove_urls else F.lit(False)
+            )
+            if remove_doc_ids:
+                cond = cond | F.col("doc_id").isin(
+                    [int(i) for i in remove_doc_ids]
+                )
             rows = (
                 live_docs(self.spark, self.index_dir, manifest)
-                .filter(F.col("url").isin(remove_urls))
+                .filter(cond)
                 .select("doc_id", "doc_len")
                 .collect()
             )

@@ -161,10 +161,11 @@ class MultiFieldIndexBuilder:
     def update_index(self, add: Optional[DataFrame] = None,
                      remove_urls: Optional[List[str]] = None,
                      compact: object = "auto",
-                     segment_name: Optional[str] = None) -> dict:
+                     segment_name: Optional[str] = None,
+                     remove_doc_ids: Optional[List[int]] = None) -> dict:
         """O(delta) update applied to EVERY field index.  ``add`` rows
         need the field columns (+ doc_id/url like build); removals are
-        by url, the shared key across fields."""
+        by url or doc_id — both shared keys across fields."""
         out = {}
         add_shared = self._shared_ids(add) if add is not None else None
         for fname in self.fields:
@@ -175,7 +176,7 @@ class MultiFieldIndexBuilder:
             )
             out[fname] = b.update_index(
                 add=sub, remove_urls=remove_urls, compact=compact,
-                segment_name=segment_name,
+                segment_name=segment_name, remove_doc_ids=remove_doc_ids,
             )
         return out
 

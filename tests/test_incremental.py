@@ -397,3 +397,39 @@ def test_two_sequential_updates_match_rebuild(spark, tmp_index_root):
     assert _postings_by_url(spark, inc_dir) == _postings_by_url(spark, rb_dir)
     for q in QUERIES:
         assert _ranked_urls(spark, inc_dir, q) == _ranked_urls(spark, rb_dir, q), q
+
+
+def test_remove_by_doc_ids_equals_remove_by_urls(spark, corpora, tmp_index_root):
+    """The reference's update API removes by doc id
+    (elasticsearch_indexer.py:151-166): remove_doc_ids must produce the
+    byte-equivalent live state as remove_urls for the same docs."""
+    base, _extra = corpora
+    cfg = IndexConfig(n_buckets=4, doc_range_bits=6)
+
+    a_dir = os.path.join(tmp_index_root, "rm_by_url")
+    b_dir = os.path.join(tmp_index_root, "rm_by_id")
+    ba = IndexBuilder(spark, a_dir, cfg)
+    bb = IndexBuilder(spark, b_dir, cfg)
+    ba.build(base)
+    bb.build(base)
+    docs = (
+        spark.read.parquet(os.path.join(a_dir, "docs"))
+        .orderBy("doc_id").limit(8).collect()
+    )
+    urls = [r["url"] for r in docs]
+    ids = [int(r["doc_id"]) for r in docs]
+    ma = ba.update_index(remove_urls=urls, compact=False)
+    mb = bb.update_index(remove_doc_ids=ids, compact=False)
+    assert ma["tombstones"] == mb["tombstones"] == sorted(ids)
+    assert _postings_by_url(spark, a_dir) == _postings_by_url(spark, b_dir)
+    sa = QueryEngine(spark, a_dir).stats
+    sb = QueryEngine(spark, b_dir).stats
+    assert sa["doc_count"] == sb["doc_count"]
+    assert abs(sa["avg_doc_len"] - sb["avg_doc_len"]) < 1e-12
+    # mixed removal: urls and ids of DISJOINT docs in one call
+    c_dir = os.path.join(tmp_index_root, "rm_mixed")
+    bc = IndexBuilder(spark, c_dir, cfg)
+    bc.build(base)
+    mc = bc.update_index(remove_urls=urls[:4], remove_doc_ids=ids[4:],
+                         compact=False)
+    assert mc["tombstones"] == sorted(ids)
