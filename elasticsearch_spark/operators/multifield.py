@@ -167,7 +167,37 @@ class MultiFieldIndexBuilder:
         need the field columns (+ doc_id/url like build); removals are
         by url or doc_id — both shared keys across fields."""
         out = {}
-        add_shared = self._shared_ids(add) if add is not None else None
+        add_shared = None
+        if add is not None:
+            add_shared = self._shared_ids(add)
+            if "doc_id" not in add.columns:
+                # _shared_ids assigned DENSE ids from 0 (build-time
+                # recipe), but per-field update_index preserves a
+                # doc_id column VERBATIM — without an offset the fresh
+                # ids would collide with live ids and silently corrupt
+                # every field sub-index.  Offset past the max
+                # next_doc_id across fields (they share one id space,
+                # so the max covers all; the single-field fallback for
+                # a missing next_doc_id — alive max ∪ tombstone max —
+                # is reproduced per field).
+                offset = 0
+                for fname in self.fields:
+                    b = IndexBuilder.open(self.spark, self.field_dir(fname))
+                    m = b._load_manifest()
+                    nid = m.get("next_doc_id")
+                    if nid is None:
+                        alive = (
+                            self.spark.read.parquet(b._path("docs"))
+                            .agg(F.max("doc_id")).collect()[0][0]
+                        )
+                        alive = -1 if alive is None else int(alive)
+                        tomb = max((int(t) for t in m.get("tombstones", [])),
+                                   default=-1)
+                        nid = max(alive, tomb) + 1
+                    offset = max(offset, int(nid))
+                add_shared = add_shared.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(int(offset))
+                )
         for fname in self.fields:
             b = IndexBuilder.open(self.spark, self.field_dir(fname))
             sub = (

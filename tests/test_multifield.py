@@ -323,3 +323,42 @@ def test_streaming_update_multifield(spark, tmp_index_root, rows, oracles):
     got = eng2.multi_match("machine learning", k=10, fields=BOOSTS)
     want = mmq(oracles, BOOSTS, "machine learning", k=10)
     _assert_same(got, want, "replay")
+
+
+def test_update_url_only_rows_get_noncolliding_ids(
+    spark, tmp_index_root, rows, oracles
+):
+    """update_index(add=<rows WITHOUT a doc_id column>) must offset the
+    freshly assigned ids past every field's live id range — a dense
+    from-0 assignment would collide with base ids and (because the
+    per-field update preserves a doc_id column verbatim) silently
+    corrupt the index.  Checked by id-disjointness of the docs table
+    AND score identity (via url) with the full-corpus oracle."""
+    url_schema = T.StructType([f for f in SCHEMA if f.name != "doc_id"])
+    d = os.path.join(tmp_index_root, "multifield_urlonly")
+    base = spark.createDataFrame(
+        [(u, t, x) for _i, u, t, x in rows[:100]], url_schema
+    )
+    delta = spark.createDataFrame(
+        [(u, t, x) for _i, u, t, x in rows[100:]], url_schema
+    )
+    b = MultiFieldIndexBuilder(spark, d, ["title", "text"], CFG)
+    b.build(base)
+    MultiFieldIndexBuilder.open(spark, d).update_index(add=delta, compact=False)
+    from elasticsearch_spark.operators.reader import live_docs
+
+    docs = live_docs(spark, os.path.join(d, "fields", "text"))
+    n_ids = docs.select("doc_id").distinct().count()
+    assert docs.count() == len(rows) and n_ids == len(rows)
+    id2url = {r["doc_id"]: r["url"] for r in docs.collect()}
+    url2oid = {u: i for i, u, _t, _x in rows}
+    eng = MultiMatchEngine(spark, d)
+    for query in ("machine learning", "running studies dying"):
+        got = eng.multi_match(query, k=10, fields=BOOSTS)
+        want = multi_match_query(oracles, BOOSTS, query, k=10)
+        assert got["total_hits"] == want["total_hits"], query
+        assert [url2oid[id2url[r["doc_id"]]] for r in got["results"]] == [
+            r["doc_id"] for r in want["results"]
+        ], query
+        for g, w in zip(got["results"], want["results"]):
+            assert abs(g["score"] - w["score"]) < 1e-9, query
