@@ -439,7 +439,52 @@ def _hardware_speedup(k: int, n: int = 10_000_000) -> float:
     under multi-core load, and host contention make 'local[32]' ≠ 32
     real cores; this calibration separates hardware limits from engine
     scaling).  Baseline and pool times are min-of-3 — a single noisy
-    1-proc baseline otherwise fabricates >k "speedups"."""
+    1-proc baseline otherwise fabricates >k "speedups".
+
+    PINNED like the trials (taskset to the same first-k logical CPUs
+    the engine trial will use, in a fresh subprocess): an unpinned
+    calibration measures k processes spread over all 32 logical CPUs —
+    a DIFFERENT budget than the trial's — and was measurably the
+    noisiest component of the r4 protocol (shipped run recorded a
+    nonsense 0.565 cap while the engine hit 3.2x on the same box).
+    Falls back to the in-process unpinned measurement if taskset is
+    unavailable."""
+    import subprocess
+    import sys as _sys
+
+    cpu_ids = sorted(os.sched_getaffinity(0))[:k]
+    code = f"""
+import json, time
+import multiprocessing as mp
+def burn(m):
+    t0 = time.time()
+    x = 0
+    for i in range(m):
+        x += i * i
+    return time.time() - t0
+n = {n}; k = {k}
+t1 = min(burn(n) for _ in range(3))
+best = None
+for _ in range(3):
+    t0 = time.time()
+    with mp.Pool(k) as p:
+        p.map(burn, [n] * k)
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("CAL_JSON:" + json.dumps({{"t1": t1, "tk": best}}))
+"""
+    try:
+        proc = subprocess.run(
+            ["taskset", "-c", ",".join(str(c) for c in cpu_ids),
+             _sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("CAL_JSON:"):
+                d = json.loads(line[len("CAL_JSON:"):])
+                return round(min(k * d["t1"] / d["tk"], float(k)), 2)
+    except (OSError, subprocess.SubprocessError, ValueError):
+        pass
     import multiprocessing as mp
 
     t1 = min(_burn(n) for _ in range(3))
@@ -536,9 +581,21 @@ def run_scaling(corpus_path: str) -> dict:
     # size-N work.
     scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "80000"))
     scale_corpus = ensure_corpus(scale_docs)
+    try:
+        import subprocess as _sp
+
+        commit = _sp.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip() or None
+    except OSError:
+        commit = None
     results = {
         "hardware_speedup": {str(k): _hardware_speedup(k) for k in (lo, hi)},
         "scale_docs": scale_docs,
+        # code identity: a kept-previous-best from an older commit is
+        # detectable (ADVICE r4) — stale bests can't masquerade as HEAD
+        "commit": commit,
     }
     # Interleaved best-of-N trials: this shared host shows intermittent
     # 2-3x slowdown windows; min-of-trials per size recovers the

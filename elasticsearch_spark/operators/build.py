@@ -246,9 +246,16 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int = 
 def _part_file_counts(scratch_dir: str) -> Optional[dict]:
     """{partition_id: num_rows} from parquet footers of a just-written
     scratch directory.  Returns None when any data file doesn't follow
-    Spark's ``part-NNNNN-...`` naming (caller falls back to a count
-    job).  Partitions that wrote no file have zero rows and are simply
-    absent — the offset math only needs present pids."""
+    Spark's ``part-NNNNN-...`` naming OR when the file's STORED ``_pid``
+    column statistics don't match the filename index (caller falls back
+    to a count job).  The cross-check matters because the filename-pid
+    ≡ stored-pid assumption is load-bearing for doc-id uniqueness (the
+    project's core invariant): a Spark version or committer that
+    renumbers write tasks (AQE coalesce, alternative committers) would
+    otherwise silently duplicate doc ids.  The stats live in the SAME
+    footer being read, so validation stays metadata-cheap (no data
+    pages touched).  Partitions that wrote no file have zero rows and
+    are simply absent — the offset math only needs present pids."""
     import re
 
     try:
@@ -262,8 +269,23 @@ def _part_file_counts(scratch_dir: str) -> Optional[dict]:
             if not m:
                 return None
             pid = int(m.group(1))
-            n = pq.ParquetFile(os.path.join(scratch_dir, name)).metadata.num_rows
-            counts[pid] = counts.get(pid, 0) + n
+            meta = pq.ParquetFile(os.path.join(scratch_dir, name)).metadata
+            schema_names = [meta.schema.column(i).name
+                            for i in range(meta.num_columns)]
+            try:
+                pid_idx = schema_names.index("_pid")
+            except ValueError:
+                return None
+            for rg in range(meta.num_row_groups):
+                stats = meta.row_group(rg).column(pid_idx).statistics
+                if (
+                    stats is None
+                    or not stats.has_min_max
+                    or stats.min != pid
+                    or stats.max != pid
+                ):
+                    return None  # filename pid ≠ stored pid: count job
+            counts[pid] = counts.get(pid, 0) + meta.num_rows
         return counts
     except Exception:
         return None

@@ -18,10 +18,28 @@ The entry-gate twins of these (md5-based, DuckDB-checkable) live in
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+# Default per-bucket member cap for the banded near-dup paths: buckets
+# larger than this switch from all-pairs (n²/2 candidates) to min-id
+# STAR form (n−1).  1000 bounds any one bucket's candidate contribution
+# at ~500k pairs — far above any honest near-dup cluster a band bucket
+# should hold at web scale, and small enough that a pathological dense
+# cluster (the skew case that kills 10^12-row jobs) stays linear.
+# Callers pass bucket_cap=None to opt back into guaranteed-complete
+# all-pairs, or an int to tune.
+DEFAULT_BUCKET_CAP = 1000
+
+BucketCap = Union[int, None, str]
+
+
+def _resolve_cap(bucket_cap: BucketCap) -> Optional[int]:
+    if bucket_cap == "auto":
+        return DEFAULT_BUCKET_CAP
+    return bucket_cap
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
@@ -69,7 +87,9 @@ def minhash_signatures(df: DataFrame, id_col: str, tokens_col: str,
 
 
 def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
-                       with_hash: bool) -> DataFrame:
+                       with_hash: bool,
+                       cap_observation: Optional[Observation] = None
+                       ) -> DataFrame:
     """Self-pairs within (q, qk) buckets — the shared candidate
     generator behind every band-bucket near-dup path.
 
@@ -87,6 +107,22 @@ def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
     (those pairs reach each other through the representative).  This is
     a semantic guarantee, not silent truncation: no member ever drops
     out of the candidate graph.
+
+    CAVEAT (verified-pair completeness): when the caller VERIFIES the
+    star candidates with a distance cut (Hamming ≤ k, Jaccard ≥ t), an
+    over-cap member whose distance to the min-id representative fails
+    the cut is dropped even if it is within the cut of some OTHER
+    bucket member — sharing one band does not bound the distance to the
+    representative.  Verified-edge completeness therefore holds only
+    with ``cap=None``; with a cap the guarantee is candidate-GRAPH
+    component preservation, and the verified output may miss
+    member×member edges inside over-cap buckets.
+
+    ``cap_observation``: an :class:`~pyspark.sql.Observation` to attach
+    to the over-cap branch — after the caller's first action it reports
+    ``capped_buckets`` (distinct over-cap (band, bucket) groups) and
+    ``capped_rows`` (members routed through star form), so a capped run
+    is VISIBLE in job stats rather than a silent semantics change.
 
     Cost: one extra window shuffle on the band key; the join side is
     bounded by cap²/2 per bucket + n−1 star rows."""
@@ -127,9 +163,20 @@ def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
     star_sel = [F.col("_rep.id").alias("a"), F.col("id").alias("b")]
     if with_hash:
         star_sel += [F.col("_rep.h").alias("ha"), F.col("h").alias("hb")]
+    over = sized.filter(F.col("_n") > cap)
+    if cap_observation is not None:
+        # observed metrics forbid DISTINCT aggregates: count each
+        # over-cap bucket via its representative's own row instead
+        # (exactly one per bucket) — same number, plain SUM
+        over = over.observe(
+            cap_observation,
+            F.sum(
+                F.when(F.col("id") == F.col("_rep.id"), 1).otherwise(0)
+            ).alias("capped_buckets"),
+            F.count(F.lit(1)).alias("capped_rows"),
+        )
     star_pairs = (
-        sized.filter(F.col("_n") > cap)
-        .filter(F.col("id") != F.col("_rep.id"))
+        over.filter(F.col("id") != F.col("_rep.id"))
         .select(*star_sel)
     )
     return small_pairs.unionByName(star_pairs).distinct()
@@ -138,13 +185,23 @@ def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
                       n_hashes: int = 32, bands: int = 8,
                       verify_threshold: Optional[float] = None,
-                      bucket_cap: Optional[int] = None) -> DataFrame:
+                      bucket_cap: BucketCap = "auto",
+                      cap_observation: Optional[Observation] = None
+                      ) -> DataFrame:
     """LSH candidate pairs (a, b); with ``verify_threshold`` also
     computes exact Jaccard on candidates and filters (a, b, jaccard).
+
     ``bucket_cap`` bounds the per-bucket quadratic blowup from dense
     duplicate clusters: over-cap band buckets emit min-id-representative
-    STAR pairs instead of all-pairs (components preserved — see
-    :func:`_bucket_self_pairs`); the 100-TB skew guard."""
+    STAR pairs instead of all-pairs (the 100-TB skew guard), DEFAULT ON
+    at ``DEFAULT_BUCKET_CAP`` so a naive caller never runs an unbounded
+    quadratic join.  Candidate-graph components are preserved, but with
+    ``verify_threshold`` set an over-cap member whose Jaccard to the
+    REPRESENTATIVE is below threshold is dropped even if it clears the
+    threshold against another bucket member — verified-pair
+    completeness holds only with ``bucket_cap=None`` (see
+    :func:`_bucket_self_pairs`).  Pass ``cap_observation`` to get
+    (capped_buckets, capped_rows) job stats after the first action."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, tokens_col, n_hashes)
     band_sig = sig.groupBy(
@@ -154,8 +211,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tok
         band_sig.select(
             "id", F.col("band").alias("q"), F.col("bh").alias("qk")
         ),
-        bucket_cap,
+        _resolve_cap(bucket_cap),
         with_hash=False,
+        cap_observation=cap_observation,
     )
     if verify_threshold is None:
         return pairs
@@ -224,7 +282,9 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
                        hash_col: str = "simhash", n_bits: int = 64,
                        n_bands: Optional[int] = None,
                        max_hamming: int = 3,
-                       bucket_cap: Optional[int] = None) -> DataFrame:
+                       bucket_cap: BucketCap = "auto",
+                       cap_observation: Optional[Observation] = None
+                       ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) over ANY precomputed ≤64-bit hash
     column, via the band pigeonhole: split the hash into ``n_bands``
     contiguous bit bands — a pair within Hamming distance n_bands − 1
@@ -244,11 +304,17 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
 
     ``bucket_cap`` bounds the per-bucket quadratic blowup from dense
     duplicate clusters — over-cap band buckets emit STAR pairs via the
-    min-id representative (components preserved; see
-    :func:`_bucket_self_pairs`).  Note the Hamming filter then applies
-    to the rep×member pairs only: an over-cap bucket's members are
-    near-dups of the representative, the transitive member×member
-    distances are not re-verified (the dedup-clustering contract)."""
+    min-id representative, DEFAULT ON at ``DEFAULT_BUCKET_CAP`` (no
+    silent unbounded quadratic join for naive callers).  The Hamming
+    filter then applies to rep×member pairs only: sharing a band does
+    NOT bound a member's distance to the representative, so an over-cap
+    member farther than ``max_hamming`` from the representative is
+    dropped even when it is within ``max_hamming`` of another member —
+    the pigeonhole completeness contract holds only with
+    ``bucket_cap=None`` (see :func:`_bucket_self_pairs`); with a cap
+    the guarantee weakens to candidate-graph component preservation.
+    Pass ``cap_observation`` to surface (capped_buckets, capped_rows)
+    in job stats after the first action."""
     if n_bands is None:
         n_bands = max_hamming + 1
     elif max_hamming > n_bands - 1:
@@ -277,7 +343,9 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
     banded = bands[0]
     for qdf in bands[1:]:
         banded = banded.unionByName(qdf)
-    cand = _bucket_self_pairs(banded, bucket_cap, with_hash=True)
+    cand = _bucket_self_pairs(banded, _resolve_cap(bucket_cap),
+                              with_hash=True,
+                              cap_observation=cap_observation)
     return (
         cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
@@ -287,17 +355,21 @@ def hamming_near_pairs(sig: DataFrame, id_col: str = "id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "url", tokens_col: str = "tokens",
                        max_hamming: int = 3,
-                       bucket_cap: Optional[int] = None) -> DataFrame:
+                       bucket_cap: BucketCap = "auto",
+                       cap_observation: Optional[Observation] = None
+                       ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) via the band pigeonhole (e.g. the
     classic 4x16-bit quarters for max_hamming=3): any pair within
     Hamming distance n_bands−1 shares at least one band exactly; bands
-    auto-size to max_hamming+1 so the candidate set is always
-    complete.  ``bucket_cap``: dense-cluster skew guard (star pairs for
-    over-cap buckets, see :func:`hamming_near_pairs`)."""
+    auto-size to max_hamming+1 so the candidate set is complete WHEN
+    ``bucket_cap=None``.  ``bucket_cap`` (default on, see
+    :func:`hamming_near_pairs` for the star-form semantics and the
+    verified-pair completeness caveat): dense-cluster skew guard."""
     sig = simhash64(df, id_col, tokens_col)
     return hamming_near_pairs(
         sig, id_col="id", hash_col="simhash", n_bits=64,
         max_hamming=max_hamming, bucket_cap=bucket_cap,
+        cap_observation=cap_observation,
     )
 
 

@@ -64,8 +64,21 @@ DRIVER_RANGE_MAX_TERMS = int(
 )
 
 # rows the last in-plan capped expansion collected (test receipt: must
-# be ≤ max_expansions, never range-sized)
-LAST_PLAN_ROWS: int = 0
+# be ≤ max_expansions, never range-sized).  THREAD-LOCAL: concurrent
+# queries on one engine must not race each other's receipts.
+import threading as _threading
+
+_PLAN_ROWS = _threading.local()
+
+
+def last_plan_rows() -> int:
+    """Rows collected by the most recent in-plan capped expansion on
+    THIS thread (0 if none ran here)."""
+    return getattr(_PLAN_ROWS, "value", 0)
+
+
+def _record_plan_rows(n: int) -> None:
+    _PLAN_ROWS.value = int(n)
 
 _TOO_BIG = object()  # sentinel: range exceeds the driver-tier budget
 
@@ -203,7 +216,6 @@ def _capped_plan_expansion(spark, index_dir: str, manifest: Optional[dict],
     never the range.  This is the 100-TB tier behind every expansion
     query; the driver pyarrow tier serves only ranges under
     ``DRIVER_RANGE_MAX_TERMS``."""
-    global LAST_PLAN_ROWS
     from pyspark.sql import functions as F
 
     live = _signed_range_plan(spark, index_dir, manifest, lo, hi)
@@ -214,7 +226,7 @@ def _capped_plan_expansion(spark, index_dir: str, manifest: Optional[dict],
     else:
         live = live.orderBy(F.col("df").desc(), F.col("term").asc())
     rows = live.limit(int(max_expansions)).collect()
-    LAST_PLAN_ROWS = len(rows)
+    _record_plan_rows(len(rows))
     return [(r["term"], int(r["df"])) for r in rows]
 
 
@@ -298,8 +310,14 @@ def prefix_terms(spark, index_dir: str, manifest: Optional[dict], prefix: str,
     lo, hi = prefix, prefix + _HIGH_CHAR
     totals = _live_range_df(spark, index_dir, manifest, lo, hi)
     if totals is None:  # range above the driver budget: in-plan cap
+        from pyspark.sql import functions as F
+
+        # same startswith guard as the driver tier below, so an exotic
+        # term collating inside [lo, hi) without the prefix cannot make
+        # the two tiers drift
         rows = _capped_plan_expansion(
-            spark, index_dir, manifest, lo, hi, max_expansions, order=order
+            spark, index_dir, manifest, lo, hi, max_expansions,
+            predicate=F.col("term").startswith(prefix), order=order,
         )
         return [t for t, _df in rows]
     # range predicate == startswith for our ascii token space; keep the
@@ -448,7 +466,6 @@ def suggest_terms(spark, index_dir: str, manifest: Optional[dict],
     if totals is None:
         # in-plan tier: JVM levenshtein (same metric), (distance, df
         # desc, term) TakeOrdered inside the plan, ≤ size rows collected
-        global LAST_PLAN_ROWS
         from pyspark.sql import functions as F
 
         lo, hi = (pfx, pfx + _HIGH_CHAR) if pfx else ("", _HIGH_CHAR)
@@ -465,7 +482,7 @@ def suggest_terms(spark, index_dir: str, manifest: Optional[dict],
             .limit(int(size))
             .collect()
         )
-        LAST_PLAN_ROWS = len(rows)
+        _record_plan_rows(len(rows))
         return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
     out = []
     for t, df in totals.items():

@@ -245,7 +245,10 @@ class MultiMatchEngine:
                          tie_breaker: float = 0.0,
                          method: str = "bm25",
                          slop: int = 0,
-                         slop_mode: str = "ordered") -> Optional[DataFrame]:
+                         slop_mode: str = "ordered",
+                         max_expansions: int = 50,
+                         operator: str = "or",
+                         minimum_should_match=None) -> Optional[DataFrame]:
         """(doc_id, score) for the multi_match — no truncation.  None
         when no field has a live query term (ES: zero hits).  Per-field
         ``match`` scores come from each field engine's
@@ -258,10 +261,26 @@ class MultiMatchEngine:
         pseudo-term scoring; honors ``slop``/``slop_mode``) and the
         per-field scores combine dis_max-style (best + tie_breaker ×
         rest), exactly how ES compiles it.  Requires positional
-        sub-indexes."""
-        if match_type not in ("best_fields", "most_fields", "phrase"):
+        sub-indexes.
+
+        ``match_type="phrase_prefix"`` is the per-field SCORED
+        ``match_phrase_prefix`` (the last token expands against EACH
+        field's own dictionary, capped at ``max_expansions`` in
+        index-term order — how ES builds per-field MultiPhraseQueries)
+        combined dis_max-style.
+
+        ``match_type="cross_fields"`` is TERM-centric (Lucene
+        BlendedTermQuery — see :meth:`_cross_fields_plan`); honors
+        ``operator``/``minimum_should_match``."""
+        if match_type not in ("best_fields", "most_fields", "phrase",
+                              "phrase_prefix", "cross_fields"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
+        if match_type == "cross_fields":
+            return self._cross_fields_plan(
+                query, boosts, tie_breaker, method, operator,
+                minimum_should_match,
+            )
         plans = []
         for fname, boost in boosts.items():
             eng = self.engines.get(fname)
@@ -271,6 +290,14 @@ class MultiMatchEngine:
             if match_type == "phrase":
                 p = eng.phrase_scored_plan(query, slop, slop_mode, method)
                 p = p.filter(F.col("n_occurrences") > 0).select("doc_id", "score")
+            elif match_type == "phrase_prefix":
+                p = eng.match_phrase_prefix_scored_plan(
+                    query, max_expansions, method
+                )
+                if p is not None:
+                    p = p.filter(F.col("n_occurrences") > 0).select(
+                        "doc_id", "score"
+                    )
             else:
                 p = eng.score_plan(query, method)
             if p is not None:
@@ -299,52 +326,217 @@ class MultiMatchEngine:
             )
         )
 
-    # --------------------------------------------------------- turbo tier
-    def _turbo_field_scores(self, eng, query: str, method: str):
-        """Full per-doc score map for one field on the driver: the same
-        pruned point read + float64 numpy math as
-        ``QueryEngine._turbo_ranked`` (result-identical to that field's
-        ``score_plan``).  None -> caller falls back to the plan tier."""
-        import numpy as np
+    # ------------------------------------------------------- cross_fields
+    def _cross_fields_stats(self, query: str, boosts: Dict[str, float]):
+        """Analyzed terms + BLENDED term statistics for ``cross_fields``
+        (Lucene BlendedTermQuery): blended df(t) = MAX over queried
+        fields of that field's LIVE df; blended idf from the shared doc
+        count (the fields share one doc-id space).  Returns
+        (terms, bdf, blended_idf); terms empty when the query analyzes
+        to nothing."""
+        import math
+
+        any_eng = next(iter(self.engines.values()))
+        terms = any_eng._terms(query)
+        if not terms:
+            return [], {}, {}
+        distinct = sorted(set(terms))
+        bdf: Dict[str, int] = {t: 0 for t in distinct}
+        n = 0
+        for fname in boosts:
+            eng = self.engines.get(fname)
+            if eng is None:
+                raise KeyError(f"field {fname!r} is not indexed "
+                               f"(have {self.fields})")
+            eng.term_idf(distinct)  # populate the live df cache
+            for t in distinct:
+                bdf[t] = max(bdf[t], eng._df_cache.get(t, 0))
+            n = max(n, eng.doc_count)
+        blended = {
+            t: (math.log((n + 1) / (bdf[t] + 1)) if bdf[t] > 0 else 0.0)
+            for t in distinct
+        }
+        return terms, bdf, blended
+
+    def _cross_fields_required(self, terms, bdf, blended, operator: str,
+                               minimum_should_match) -> Optional[int]:
+        """Matched-distinct-term threshold for cross_fields — the same
+        spec as ``QueryEngine._match_required`` but over BLENDED df/idf
+        (a term matches if it occurs in ANY queried field).  None ⇒ the
+        query can never match (operator=and with a term indexed in no
+        field)."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"unknown match operator {operator!r}")
+        distinct = set(terms)
+        if operator == "and" and any(bdf[t] == 0 for t in distinct):
+            return None
+        live = {t for t in distinct if blended[t] != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct if bdf[t] > 0 and blended[t] == 0.0
+        )
+        if operator == "and":
+            return len(live)
+        if minimum_should_match is None:
+            return 0
+        return max(int(minimum_should_match) - n_zero_idf, 0)
+
+    def _cross_fields_plan(self, query: str, boosts: Dict[str, float],
+                           tie_breaker: float = 0.0, method: str = "bm25",
+                           operator: str = "or",
+                           minimum_should_match=None) -> Optional[DataFrame]:
+        """ES ``multi_match`` ``type: cross_fields`` as a (doc_id,
+        score) plan — TERM-centric blending: per term the queried
+        fields act as one field (blended idf = max-df blend, shared doc
+        count) while tf saturation keeps FIELD-LOCAL norms (the field's
+        own doc_len/avgdl), per Lucene's BlendedTermQuery inside a
+        per-term dis_max (``tie_breaker`` blends the non-best fields).
+        Doc score = sum over query-term occurrences; ``operator`` /
+        ``minimum_should_match`` filter on the distinct-matched-term
+        count.
+
+        Plan shape (100-TB): per field the SAME pruned
+        scan→score→partial-agg shape as the single-field plan, rows kept
+        per (doc_id, term); ONE groupBy(doc_id, term) exchange sized by
+        the per-field hit-set union does the per-term dis_max, and the
+        final groupBy(doc_id) reuses that exchange's partitioning
+        (doc_id ⊂ (doc_id, term) keys — Catalyst needs no second
+        shuffle)."""
         from collections import Counter
 
-        terms = eng._terms(query)
-        idf_map = eng.term_idf(terms)
-        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
+        terms, bdf, blended = self._cross_fields_stats(query, boosts)
+        if not terms:
+            return None
+        required = self._cross_fields_required(
+            terms, bdf, blended, operator, minimum_should_match
+        )
+        any_eng = next(iter(self.engines.values()))
+        if required is None:
+            return any_eng._empty_scored_plan()
+        live = [t for t in terms if blended[t] != 0.0]
         if not live:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        uniq = sorted(set(live))
-        if sum(eng._df_cache.get(t, 0) for t in uniq) > eng.TURBO_MAX_POSTINGS:
             return None
-        try:
-            term_a, doc, tf, dl = eng._postings_point_read(uniq)
-        except Exception:
-            return None
-        ok = dl > 0
-        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
-        if doc.size == 0:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         counts = Counter(live)
-        codes_map = {t: i for i, t in enumerate(uniq)}
-        weights = np.array(
-            [idf_map[t] * float(counts[t]) for t in uniq], dtype=np.float64
-        )
-        codes = np.fromiter(
-            (codes_map[t] for t in term_a), dtype=np.int64, count=term_a.size
-        )
-        tf_f = tf.astype(np.float64)
-        if method == "bm25":
+        uniq = sorted(counts)
+        plans = []
+        for fname, boost in boosts.items():
+            eng = self.engines[fname]
+            idf_items: list = []
+            for t in uniq:
+                idf_items += [
+                    F.lit(t),
+                    F.lit(float(blended[t]) * float(counts[t]) * float(boost)),
+                ]
+            w_col = F.create_map(*idf_items)[F.col("term")]
+            p = eng._pruned_postings(uniq).filter(F.col("doc_len") > 0)
             k1, b = eng.k1, eng.b
-            impact = (tf_f * (k1 + 1)) / (
-                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / eng.avg_doc_len))
+            if method == "bm25":
+                impact = (F.col("tf") * (k1 + 1)) / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("doc_len") / F.lit(eng.avg_doc_len)))
+                )
+            elif method == "tfidf":
+                impact = F.col("tf") / F.col("doc_len")
+            else:
+                raise ValueError(f"unknown scoring method {method!r}")
+            plans.append(
+                p.select("doc_id", "term", (w_col * impact).alias("score"))
             )
-        elif method == "tfidf":
-            impact = tf_f / dl.astype(np.float64)
-        else:
-            raise ValueError(f"unknown scoring method {method!r}")
-        s = weights[codes] * impact
-        docs_u, inv = np.unique(doc, return_inverse=True)
-        return docs_u, np.bincount(inv, weights=s)
+        u = plans[0]
+        for p in plans[1:]:
+            u = u.unionByName(p)
+        per_term = (
+            u.groupBy("doc_id", "term")
+            .agg(F.max("score").alias("best"), F.sum("score").alias("tot"))
+            .select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(float(tie_breaker)) * (F.col("tot") - F.col("best"))
+                ).alias("ts"),
+            )
+        )
+        return (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("ts").alias("score"), F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") >= F.lit(int(required)))
+            .select("doc_id", "score")
+        )
+
+    def _turbo_cross_fields(self, query: str, k: int,
+                            boosts: Dict[str, float], tie_breaker: float,
+                            method: str, operator: str,
+                            minimum_should_match,
+                            want_total: bool) -> Optional[dict]:
+        """Driver-side twin of :meth:`_cross_fields_plan` + top-k
+        (result-identical; per-field rows come from the SHARED kernel
+        ``QueryEngine._turbo_scored_rows`` with the blended idf map)."""
+        import numpy as np
+
+        terms, bdf, blended = self._cross_fields_stats(query, boosts)
+        empty = {
+            "query": query,
+            "total_hits": 0 if want_total else None,
+            "results": [],
+        }
+        if not terms:
+            return empty
+        required = self._cross_fields_required(
+            terms, bdf, blended, operator, minimum_should_match
+        )
+        if required is None:
+            return empty
+        rows_codes, rows_doc, rows_s = [], [], []
+        uniq_ref = None
+        for fname, boost in boosts.items():
+            eng = self.engines[fname]
+            got = eng._turbo_scored_rows(terms, method, idf_map=blended)
+            if got is None:
+                return None
+            uniq, codes, doc, s = got
+            if uniq_ref is None:
+                uniq_ref = uniq  # same live set for every field (blended map)
+            rows_codes.append(codes)
+            rows_doc.append(doc)
+            rows_s.append(s * float(boost))
+        codes = np.concatenate(rows_codes) if rows_codes else np.empty(0, np.int64)
+        if codes.size == 0:
+            return empty
+        doc = np.concatenate(rows_doc)
+        s = np.concatenate(rows_s)
+        # per-(term, doc) dis_max across fields: composite int64 keys
+        # (term code is tiny, doc ids bounded by the shared id space)
+        dmax = int(doc.max()) + 1
+        key = codes * dmax + doc
+        ukey, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=s)
+        best = np.full(ukey.size, -np.inf)
+        np.maximum.at(best, inv, s)
+        ts = best + float(tie_breaker) * (tot - best)
+        kdoc = ukey % dmax
+        docs_u, inv2 = np.unique(kdoc, return_inverse=True)
+        scores = np.bincount(inv2, weights=ts)
+        nt = np.bincount(inv2)
+        keep = nt >= required
+        docs_u, scores = docs_u[keep], scores[keep]
+        order = np.lexsort((docs_u, -scores))[:k]
+        return {
+            "query": query,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    # --------------------------------------------------------- turbo tier
+    def _turbo_field_scores(self, eng, query: str, method: str):
+        """Full per-doc score map for one field on the driver —
+        delegates to the SHARED turbo scoring kernel
+        (``QueryEngine._turbo_score_map`` →  ``_turbo_scored_rows``):
+        one source of BM25/TF-IDF math for the single-field and
+        multi-field tiers, so rank identity is structural, not
+        test-only.  None -> caller falls back to the plan tier."""
+        return eng._turbo_score_map(query, method)
 
     def _turbo_multi_match(self, query: str, k: int,
                            boosts: Dict[str, float], match_type: str,
@@ -396,15 +588,26 @@ class MultiMatchEngine:
                     match_type: str = "best_fields",
                     tie_breaker: float = 0.0, method: str = "bm25",
                     slop: int = 0, slop_mode: str = "ordered",
+                    max_expansions: int = 50,
+                    operator: str = "or", minimum_should_match=None,
                     with_total_hits: bool = True) -> dict:
         """Reference result shape ``{query, total_hits, results}``
         (``elasticsearch_indexer.py:135-148``), deterministic
         (score desc, doc_id asc) tie-break.  total_hits counts docs
         matching in ANY queried field (ES semantics)."""
-        if match_type not in ("best_fields", "most_fields", "phrase"):
+        if match_type not in ("best_fields", "most_fields", "phrase",
+                              "phrase_prefix", "cross_fields"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
-        if match_type != "phrase":  # phrase serves from the plan tier
+        if match_type == "cross_fields":
+            res = self._turbo_cross_fields(
+                query, k, boosts, tie_breaker, method, operator,
+                minimum_should_match, with_total_hits,
+            )
+            if res is not None:
+                return res
+        elif match_type not in ("phrase", "phrase_prefix"):
+            # phrase kinds serve from the plan tier
             res = self._turbo_multi_match(
                 query, k, boosts, match_type, tie_breaker, method,
                 with_total_hits,
@@ -412,7 +615,9 @@ class MultiMatchEngine:
             if res is not None:
                 return res
         plan = self.multi_match_plan(query, boosts, match_type,
-                                     tie_breaker, method, slop, slop_mode)
+                                     tie_breaker, method, slop, slop_mode,
+                                     max_expansions, operator,
+                                     minimum_should_match)
         if plan is None:
             return {
                 "query": query,

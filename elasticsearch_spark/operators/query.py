@@ -319,6 +319,93 @@ class QueryEngine:
             np.concatenate(parts_dl),
         )
 
+    def _turbo_scored_rows(self, terms: List[str], method: str,
+                           idf_map: Optional[Dict[str, float]] = None):
+        """The SHARED turbo scoring kernel — single source of the
+        BM25/TF-IDF numpy math for every driver-side tier (ranked,
+        multi_match per-field maps, match operator/msm, cross_fields).
+
+        ``terms`` are ANALYZED query terms (duplicates = per-occurrence
+        multiplicity, like the reference's TAAT loop); ``idf_map``
+        overrides the live per-index idf (cross_fields passes BLENDED
+        statistics) — liveness (idf != 0) is judged against whichever
+        map applies.
+
+        Returns None when the turbo tier does not apply (disabled,
+        Σ df over budget, point-read failure) — callers fall back to
+        the distributed plan.  Otherwise ``(uniq_terms, codes, doc, s)``
+        posting rows (one per (term, doc), doc_len>0 filtered) where
+        ``s = idf × multiplicity × impact``; all arrays empty when no
+        term is live or nothing matches."""
+        if not self.turbo:
+            return None
+        import numpy as np
+        from collections import Counter
+
+        live_idf = self.term_idf(terms) if idf_map is None else idf_map
+        live = [t for t in terms if live_idf.get(t, 0.0) != 0.0]
+        uniq = sorted(set(live))
+        empty = (
+            uniq,
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+        if not live:
+            return empty
+        if idf_map is not None:
+            # blended-idf callers: the budget check needs THIS index's
+            # live df — populate the cache (cheap driver point lookup)
+            self.term_idf(uniq)
+        if sum(self._df_cache.get(t, 0) for t in uniq) > self.TURBO_MAX_POSTINGS:
+            return None
+        try:
+            term_a, doc, tf, dl = self._postings_point_read(uniq)
+        except Exception:
+            return None
+        ok = dl > 0
+        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
+        if doc.size == 0:
+            return empty
+        counts = Counter(live)
+        codes_map = {t: i for i, t in enumerate(uniq)}
+        weights = np.array(
+            [live_idf[t] * float(counts[t]) for t in uniq], dtype=np.float64
+        )
+        codes = np.fromiter(
+            (codes_map[t] for t in term_a), dtype=np.int64, count=term_a.size
+        )
+        tf_f = tf.astype(np.float64)
+        if method == "bm25":
+            k1, b = self.k1, self.b
+            impact = (tf_f * (k1 + 1)) / (
+                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / self.avg_doc_len))
+            )
+        elif method == "tfidf":
+            impact = tf_f / dl.astype(np.float64)
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        return uniq, codes, doc, weights[codes] * impact
+
+    def _turbo_score_map(self, query: str, method: str = "bm25",
+                         terms: Optional[List[str]] = None,
+                         idf_map: Optional[Dict[str, float]] = None):
+        """Full per-doc score map ``(docs_u, scores)`` on the driver —
+        the multi_match per-field building block (result-identical to
+        :meth:`score_plan`).  None -> caller falls back to the plan."""
+        import numpy as np
+
+        if terms is None:
+            terms = self._terms(query)
+        got = self._turbo_scored_rows(terms, method, idf_map)
+        if got is None:
+            return None
+        _uniq, _codes, doc, s = got
+        if doc.size == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        return docs_u, np.bincount(inv, weights=s)
+
     def _turbo_ranked(self, query: str, k: int, method: str,
                       want_total: bool,
                       terms: Optional[List[str]] = None,
@@ -336,8 +423,6 @@ class QueryEngine:
         ``terms`` bypasses tokenization — used by the multi-term
         expansion queries (prefix/fuzzy), whose dictionary terms are
         already analyzed."""
-        if not self.turbo:
-            return None
         if isinstance(filter_docs, DataFrame):
             # plan-valued filter clause (attribute predicate): the
             # allowlist lives in the cluster — distributed plan only
@@ -346,50 +431,16 @@ class QueryEngine:
 
         if terms is None:
             terms = self._terms(query)
-        idf_map = self.term_idf(terms)
-        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
-        if not live:
-            return {
-                "query": query,
-                "total_hits": 0 if want_total else None,
-                "results": [],
-            }
-        uniq = sorted(set(live))
-        if sum(self._df_cache.get(t, 0) for t in uniq) > self.TURBO_MAX_POSTINGS:
+        got = self._turbo_scored_rows(terms, method)
+        if got is None:
             return None
-        try:
-            term_a, doc, tf, dl = self._postings_point_read(uniq)
-        except Exception:
-            return None
-        ok = dl > 0
-        term_a, doc, tf, dl = term_a[ok], doc[ok], tf[ok], dl[ok]
+        _uniq, _codes, doc, s = got
         if doc.size == 0:
             return {
                 "query": query,
                 "total_hits": 0 if want_total else None,
                 "results": [],
             }
-        from collections import Counter
-
-        counts = Counter(live)
-        codes_map = {t: i for i, t in enumerate(uniq)}
-        weights = np.array(
-            [idf_map[t] * float(counts[t]) for t in uniq], dtype=np.float64
-        )
-        codes = np.fromiter(
-            (codes_map[t] for t in term_a), dtype=np.int64, count=term_a.size
-        )
-        tf_f = tf.astype(np.float64)
-        if method == "bm25":
-            k1, b = self.k1, self.b
-            impact = (tf_f * (k1 + 1)) / (
-                tf_f + k1 * (1 - b + b * (dl.astype(np.float64) / self.avg_doc_len))
-            )
-        elif method == "tfidf":
-            impact = tf_f / dl.astype(np.float64)
-        else:
-            raise ValueError(f"unknown scoring method {method!r}")
-        s = weights[codes] * impact
         docs_u, inv = np.unique(doc, return_inverse=True)
         scores = np.bincount(inv, weights=s)
         if filter_docs is not None:
@@ -638,6 +689,171 @@ class QueryEngine:
             (F.col("score") < sa_score)
             | ((F.col("score") == sa_score) & (F.col("doc_id") > sa_doc))
         )
+
+    # ------------------------------------------ match operator / msm (ES)
+    def _match_required(self, terms: Sequence[str], operator: str,
+                        minimum_should_match) -> Optional[int]:
+        """Resolve the matched-distinct-term threshold for ES ``match``
+        ``operator``/``minimum_should_match``.  None ⇒ the query can
+        never match (operator=and with an unindexed term — Lucene: a
+        MUST TermQuery over a non-existent term matches nothing).
+
+        Terms with df>0 but idf==0 occur in EVERY doc under this idf
+        formula (df==N): they are skipped from scoring (reference
+        semantics) and auto-match every candidate, so the required
+        count is reduced by their number — the same spec as the
+        oracle's ``match_query``."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"unknown match operator {operator!r}")
+        distinct = set(terms)
+        self.term_idf(sorted(distinct))
+        if operator == "and" and any(
+            self._df_cache.get(t, 0) == 0 for t in distinct
+        ):
+            return None
+        live = {t for t in distinct
+                if self._df_cache.get(t, 0) > 0
+                and self._idf_cache.get(t, 0.0) != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct
+            if self._df_cache.get(t, 0) > 0
+            and self._idf_cache.get(t, 0.0) == 0.0
+        )
+        if operator == "and":
+            return len(live)
+        if minimum_should_match is None:
+            return 0
+        return max(int(minimum_should_match) - n_zero_idf, 0)
+
+    def match_scored_plan(self, query: str, method: str = "bm25",
+                          operator: str = "or",
+                          minimum_should_match=None) -> Optional[DataFrame]:
+        """ES ``match`` with ``operator=and`` / ``minimum_should_match``
+        as a (doc_id, score) plan: the usual TAAT scoring plan
+        (:meth:`score_plan`) with a matched-distinct-term count riding
+        the SAME groupBy — the msm filter adds zero extra shuffles
+        (posting rows are unique per (term, doc), so ``count(*)`` IS
+        the distinct matched-term count).  None when no term is live;
+        an empty plan when operator=and can never match."""
+        terms = self._terms(query)
+        if not terms:
+            return None
+        required = self._match_required(terms, operator, minimum_should_match)
+        if required is None:
+            return self._empty_scored_plan()
+        idf_map = self.term_idf(terms)
+        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
+        if not live:
+            return None
+        from collections import Counter
+
+        idf_items: list = []
+        mult_items: list = []
+        for t, c in Counter(live).items():
+            idf_items += [F.lit(t), F.lit(float(idf_map[t]))]
+            mult_items += [F.lit(t), F.lit(float(c))]
+        idf_col = F.create_map(*idf_items)[F.col("term")]
+        mult_col = F.create_map(*mult_items)[F.col("term")]
+        p = self._pruned_postings(sorted(set(live)))
+        k1, b = self.k1, self.b
+        if method == "bm25":
+            score = idf_col * (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len)))
+                )
+            )
+        elif method == "tfidf":
+            score = (F.col("tf") / F.col("doc_len")) * idf_col
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        return (
+            p.filter(F.col("doc_len") > 0)
+            .withColumn("score", score * mult_col)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"),
+                 F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") >= F.lit(int(required)))
+            .select("doc_id", "score")
+        )
+
+    def _turbo_match(self, query: str, k: int, method: str, operator: str,
+                     minimum_should_match, want_total: bool) -> Optional[dict]:
+        """Driver-side twin of :meth:`match_scored_plan` + top-k
+        (result-identical; shares :meth:`_turbo_scored_rows`)."""
+        if not self.turbo:
+            return None
+        import numpy as np
+
+        terms = self._terms(query)
+        empty = {
+            "query": query,
+            "total_hits": 0 if want_total else None,
+            "results": [],
+        }
+        if not terms:
+            return empty
+        required = self._match_required(terms, operator, minimum_should_match)
+        if required is None:
+            return empty
+        got = self._turbo_scored_rows(terms, method)
+        if got is None:
+            return None
+        _uniq, _codes, doc, s = got
+        if doc.size == 0:
+            return empty
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        scores = np.bincount(inv, weights=s)
+        nt = np.bincount(inv)
+        keep = nt >= required
+        docs_u, scores = docs_u[keep], scores[keep]
+        order = np.lexsort((docs_u, -scores))[:k]
+        return {
+            "query": query,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def match_search(self, query: str, k: int = 10, operator: str = "or",
+                     minimum_should_match=None, method: str = "bm25",
+                     with_total_hits: bool = True) -> dict:
+        """ES ``match`` with ``operator`` / ``minimum_should_match`` in
+        the reference result shape (``operator="or"`` with no msm is
+        exactly :meth:`ranked`).  Two tiers like every query path."""
+        res = self._turbo_match(
+            query, k, method, operator, minimum_should_match, with_total_hits
+        )
+        if res is not None:
+            return res
+        plan = self.match_scored_plan(query, method, operator,
+                                      minimum_should_match)
+        if plan is None:
+            return {
+                "query": query,
+                "total_hits": 0 if with_total_hits else None,
+                "results": [],
+            }
+        if with_total_hits:
+            obs = Observation()
+            plan = plan.observe(obs, F.count(F.lit(1)).alias("n"))
+        with self._interactive():
+            top = (
+                plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"]) if with_total_hits else None
+        return {
+            "query": query,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+            ],
+        }
 
     def explain(self, query: str, doc_id: int,
                 method: str = "bm25") -> dict:
@@ -1179,6 +1395,43 @@ class QueryEngine:
                 for r in top
             ],
         }
+
+    def match_phrase_prefix_scored_plan(self, phrase: str,
+                                        max_expansions: int = 50,
+                                        method: str = "bm25"
+                                        ) -> Optional[DataFrame]:
+        """SCORED ES ``match_phrase_prefix`` — the scoring twin of
+        :meth:`match_phrase_prefix_plan`, Lucene MultiPhraseQuery
+        style: pseudo-term idf = SUM of idf over ALL terms in ALL
+        positions (each prefix expansion of the last token contributes,
+        one per phrase position for repeats), tf = the per-doc count of
+        matching start positions, BM25/TF-IDF saturation on top.
+        Returns (doc_id, n_occurrences, score); None when the phrase
+        analyzes to nothing or the prefix expands to nothing (ES: zero
+        hits).  Shares the slots kernel's single bounded shuffle; the
+        doc_len join is hit-set-sized."""
+        self._refresh_if_stale()
+        slots = self._mpp_slots(phrase, max_expansions)
+        if slots is None:
+            return None
+        base = self.match_phrase_prefix_plan(phrase, max_expansions)
+        all_terms = [t for s in slots for t in s]
+        idf_map = self.term_idf(sorted(set(all_terms)))
+        sum_idf = float(sum(idf_map.get(t, 0.0) for t in all_terms))
+        k1, b = self.k1, self.b
+        dl = self._docs.select("doc_id", "doc_len")
+        j = base.join(dl, "doc_id").filter(F.col("doc_len") > 0)
+        pf = F.col("n_occurrences").cast("double")
+        if method == "bm25":
+            score = F.lit(sum_idf) * (
+                (pf * (k1 + 1))
+                / (pf + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len))))
+            )
+        elif method == "tfidf":
+            score = F.lit(sum_idf) * (pf / F.col("doc_len"))
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        return j.select("doc_id", "n_occurrences", score.alias("score"))
 
     # ------------------------------------------------------------- boolean
     def boolean_plan(self, query: str) -> DataFrame:

@@ -307,6 +307,122 @@ class OracleIndex:
             out[doc] = (pf, s)
         return out
 
+    # ------------------------------------------------- match options (ES)
+    def match_query(self, query: str, k: int = 10, method: str = "bm25",
+                    operator: str = "or",
+                    minimum_should_match: int | None = None,
+                    pretokenized_query: bool = False) -> dict:
+        """ES ``match`` with ``operator`` / ``minimum_should_match``
+        (the two knobs ES exposes on the plain ranked match;
+        reference's ES search uses the OR default,
+        elasticsearch_indexer.py:122-149).  Semantics spec (shared with
+        the engine's ``match_scored_plan``):
+
+        * ``operator="and"``: every DISTINCT analyzed term must match;
+          a term with df==0 can never match, so the result is empty
+          (Lucene: a MUST TermQuery over a non-existent term).
+        * ``minimum_should_match=n`` (OR mode): keep docs matching at
+          least n distinct analyzed terms.
+        * terms with df>0 but idf==0 (df==N under this idf formula)
+          occur in EVERY doc: they are skipped from scoring (reference
+          semantics) and counted as auto-matched — the required count
+          is reduced by their number instead.
+        """
+        terms = query.split() if pretokenized_query else preprocess_query(query)
+        empty = {"query": query, "total_hits": 0, "results": []}
+        if not terms:
+            return empty
+        distinct = set(terms)
+        if operator == "and" and any(self.df(t) == 0 for t in distinct):
+            return empty
+        live = {t for t in distinct
+                if self.df(t) > 0 and self.idf.get(t, 0.0) != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct if self.df(t) > 0 and self.idf.get(t, 0.0) == 0.0
+        )
+        if operator == "and":
+            required = len(live)
+        else:
+            required = (0 if minimum_should_match is None
+                        else int(minimum_should_match) - n_zero_idf)
+        required = max(required, 0)
+        doc_scores = self.score_all(query, method, pretokenized_query)
+        matched: Dict[int, int] = {}
+        for t in live:
+            for doc_id, _tf in self.postings.get(t, ()):
+                if self.doc_len.get(doc_id, 0) > 0:
+                    matched[doc_id] = matched.get(doc_id, 0) + 1
+        kept = {d: s for d, s in doc_scores.items()
+                if matched.get(d, 0) >= required}
+        ranked = sorted(kept.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return {
+            "query": query,
+            "total_hits": len(kept),
+            "results": [{"doc_id": d, "score": s} for d, s in ranked],
+        }
+
+    # -------------------------------------------- match_phrase_prefix (ES)
+    def prefix_expansions(self, prefix: str, max_expansions: int = 50
+                          ) -> List[str]:
+        """First ``max_expansions`` indexed terms starting with
+        ``prefix``, in index-term order (ES's expansion cap behavior; a
+        term equal to the prefix is included)."""
+        return sorted(
+            t for t in self.postings if t.startswith(prefix)
+        )[:max_expansions]
+
+    def mpp_scores(self, phrase: str, max_expansions: int = 50,
+                   method: str = "bm25",
+                   pretokenized_query: bool = False
+                   ) -> Dict[int, Tuple[int, float]]:
+        """doc_id -> (match_count, score) for a SCORED ES
+        ``match_phrase_prefix``: the phrase must match with the last
+        position holding ANY prefix expansion of the last token; scored
+        the Lucene MultiPhraseQuery way — pseudo-term idf = SUM of idf
+        over ALL terms in ALL positions (each expansion of the last
+        slot contributes), tf = per-doc count of matching start
+        positions, BM25/TF-IDF saturation on top (the scoring twin of
+        the engine's ``match_phrase_prefix_scored_plan``)."""
+        terms = phrase.split() if pretokenized_query else preprocess_query(phrase)
+        if not terms:
+            return {}
+        exp = self.prefix_expansions(terms[-1], max_expansions)
+        if not exp:
+            return {}
+        slots: List[List[str]] = [[t] for t in terms[:-1]] + [exp]
+        # per-slot doc -> set of positions (union over the slot's terms)
+        slot_pos: List[Dict[int, set]] = []
+        for slot in slots:
+            acc: Dict[int, set] = {}
+            for t in slot:
+                for doc, plist in self.positions.get(t, {}).items():
+                    acc.setdefault(doc, set()).update(plist)
+            slot_pos.append(acc)
+        docs = set(slot_pos[0])
+        for sp in slot_pos[1:]:
+            docs &= set(sp)
+        sum_idf = sum(
+            self.idf.get(t, 0.0) for slot in slots for t in slot
+        )
+        out: Dict[int, Tuple[int, float]] = {}
+        for doc in docs:
+            starts = set(slot_pos[0][doc])
+            for i, sp in enumerate(slot_pos[1:], start=1):
+                starts &= {p - i for p in sp[doc]}
+                if not starts:
+                    break
+            pf = len(starts)
+            dl = self.doc_len.get(doc, 0)
+            if pf == 0 or dl <= 0:
+                continue
+            if method == "bm25":
+                s = scoring.bm25(pf, dl, self.avg_doc_len, sum_idf,
+                                 self.k1, self.b)
+            else:
+                s = scoring.tfidf(pf, dl, sum_idf)
+            out[doc] = (pf, s)
+        return out
+
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
         rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))
@@ -457,5 +573,128 @@ def multi_match_phrase_query(field_indexes: Dict[str, OracleIndex],
     return {
         "query": phrase,
         "total_hits": len(combined),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }
+
+
+def multi_match_phrase_prefix_query(field_indexes: Dict[str, OracleIndex],
+                                    boosts: Dict[str, float], phrase: str,
+                                    k: int = 10, max_expansions: int = 50,
+                                    tie_breaker: float = 0.0,
+                                    method: str = "bm25",
+                                    pretokenized_query: bool = False) -> dict:
+    """ES ``multi_match`` ``type: phrase_prefix`` oracle: each field
+    evaluates the query as a SCORED ``match_phrase_prefix``
+    (:meth:`OracleIndex.mpp_scores` — the last token expands against
+    THAT field's dictionary, exactly how ES builds a per-field
+    MultiPhraseQuery) × boost; per doc the fields combine dis_max-style
+    (best + tie_breaker × rest)."""
+    per_field: Dict[int, List[float]] = {}
+    for fname, boost in boosts.items():
+        scores = field_indexes[fname].mpp_scores(
+            phrase, max_expansions, method, pretokenized_query
+        )
+        for doc_id, (_pf, s) in scores.items():
+            per_field.setdefault(doc_id, []).append(s * boost)
+    combined = {
+        d: max(v) + tie_breaker * (sum(v) - max(v))
+        for d, v in per_field.items()
+    }
+    ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": phrase,
+        "total_hits": len(combined),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }
+
+
+def cross_fields_score_all(field_indexes: Dict[str, OracleIndex],
+                           boosts: Dict[str, float], query: str,
+                           tie_breaker: float = 0.0, method: str = "bm25",
+                           operator: str = "or",
+                           minimum_should_match: int | None = None,
+                           pretokenized_query: bool = False
+                           ) -> Dict[int, float]:
+    """ES ``multi_match`` ``type: cross_fields`` oracle — TERM-centric
+    blending (Lucene BlendedTermQuery): the queried fields are treated
+    as one big field per term.
+
+    Spec (shared with the engine's ``_cross_fields_plan``):
+
+    * blended df(t) = MAX over queried fields of that field's df(t);
+      blended idf uses the shared doc count (fields share one doc-id
+      space) — the BlendedTermQuery df blend.
+    * per term, per field: score = boost × blended_idf ×
+      the FIELD's own BM25/TF-IDF saturation (field-local tf, doc_len,
+      avgdl — Lucene keeps per-field norms).
+    * per term, per doc: fields combine dis_max-style
+      (best + tie_breaker × rest); the doc's score is the SUM over
+      query-term occurrences (duplicates count each time).
+    * ``operator="and"``: every distinct term must match in SOME field
+      (blended df==0 ⇒ empty result); ``minimum_should_match`` counts
+      distinct matched terms.  Terms with blended idf==0 (df==N) are
+      skipped from scoring and auto-matched (required reduced), same
+      rule as :meth:`OracleIndex.match_query`.
+    """
+    terms = query.split() if pretokenized_query else preprocess_query(query)
+    if not terms:
+        return {}
+    distinct = sorted(set(terms))
+    n = max(idx.doc_count for idx in field_indexes.values())
+    bdf = {t: max(field_indexes[f].df(t) for f in boosts) for t in distinct}
+    if operator == "and" and any(bdf[t] == 0 for t in distinct):
+        return {}
+    blended = {t: scoring.idf(n, bdf[t]) for t in distinct}
+    live = [t for t in terms if blended[t] != 0.0]
+    if not live:
+        return {}
+    n_zero_idf = sum(1 for t in distinct if bdf[t] > 0 and blended[t] == 0.0)
+    if operator == "and":
+        required = len(set(live))
+    else:
+        required = (0 if minimum_should_match is None
+                    else int(minimum_should_match) - n_zero_idf)
+    required = max(required, 0)
+    counts = Counter(live)
+    scores: Dict[int, float] = {}
+    matched: Dict[int, int] = {}
+    for t, c in counts.items():
+        field_vals: Dict[int, List[float]] = {}
+        for fname, boost in boosts.items():
+            idx = field_indexes[fname]
+            for doc_id, tf in idx.postings.get(t, ()):
+                dl = idx.doc_len.get(doc_id, 0)
+                if dl <= 0:
+                    continue
+                if method == "bm25":
+                    v = scoring.bm25(tf, dl, idx.avg_doc_len, blended[t],
+                                     idx.k1, idx.b)
+                else:
+                    v = scoring.tfidf(tf, dl, blended[t])
+                field_vals.setdefault(doc_id, []).append(boost * v)
+        for doc_id, vals in field_vals.items():
+            best = max(vals)
+            ts = best + tie_breaker * (sum(vals) - best)
+            scores[doc_id] = scores.get(doc_id, 0.0) + c * ts
+            matched[doc_id] = matched.get(doc_id, 0) + 1
+    return {d: s for d, s in scores.items() if matched.get(d, 0) >= required}
+
+
+def cross_fields_query(field_indexes: Dict[str, OracleIndex],
+                       boosts: Dict[str, float], query: str, k: int = 10,
+                       tie_breaker: float = 0.0, method: str = "bm25",
+                       operator: str = "or",
+                       minimum_should_match: int | None = None,
+                       pretokenized_query: bool = False) -> dict:
+    """Reference result shape for multi_match ``type: cross_fields``,
+    deterministic (score desc, doc_id asc) tie-break."""
+    doc_scores = cross_fields_score_all(
+        field_indexes, boosts, query, tie_breaker, method, operator,
+        minimum_should_match, pretokenized_query,
+    )
+    ranked = sorted(doc_scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": query,
+        "total_hits": len(doc_scores),
         "results": [{"doc_id": d, "score": s} for d, s in ranked],
     }

@@ -678,6 +678,227 @@ def engine_multi_match_most_fields(spark, sf_dir):
     return _topk(plan, 10)
 
 
+def _cross_fields_sql(terms, boosts=((2.0, 3), (1.0, 0)), tie_breaker=0.0,
+                      operator="or", msm=None, k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for multi_match ``type: cross_fields`` over the
+    derived-title field pair — TERM-centric blending: blended df = MAX
+    over fields, blended idf from the shared doc count, per-field BM25
+    saturation with FIELD-LOCAL norms, per-term dis_max (tie_breaker),
+    sum over terms, operator/msm filtering on the distinct matched-term
+    count (terms are distinct here, so multiplicity is 1)."""
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+tf{i} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok{i}
+          WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+dfq{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY term)""")
+    dfu = " UNION ALL ".join(
+        f"SELECT term, df FROM dfq{i}" for i in range(len(boosts))
+    )
+    srows = []
+    for i, (boost, _n_tok) in enumerate(boosts):
+        srows.append(f"""
+s{i} AS (SELECT tf.doc_id, tf.term,
+                {boost} * bidf.idf * ((tf.tf * ({k1} + 1)) /
+                    (tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / c{i}.avgdl)))) AS s
+         FROM tf{i} tf JOIN bidf ON tf.term = bidf.term
+                       JOIN dl{i} dl ON tf.doc_id = dl.doc_id, c{i}
+         WHERE bidf.idf <> 0)""")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, term, s FROM s{i}" for i in range(len(boosts))
+    )
+    if operator == "and":
+        # required = every distinct LIVE term; empty when any term is
+        # indexed in no field (bdf only holds df>0 terms by construction)
+        req = ("nt >= (SELECT count(*) FROM bidf WHERE idf <> 0) "
+               f"AND (SELECT count(*) FROM bdf) = {len(set(terms))}")
+    elif msm is not None:
+        req = (f"nt >= greatest({int(msm)} - "
+               "(SELECT count(*) FROM bidf WHERE idf = 0), 0)")
+    else:
+        req = "nt >= 0"
+    return f"""WITH {','.join(parts)},
+bdf AS (SELECT term, max(df)::BIGINT AS df FROM ({dfu}) GROUP BY term),
+bidf AS (SELECT term, ln((c0.n + 1)::DOUBLE / (bdf.df + 1)::DOUBLE) AS idf
+         FROM bdf, c0),
+{','.join(srows)},
+u AS ({unions}),
+pt AS (SELECT doc_id, term,
+              max(s) + {tie_breaker} * (sum(s) - max(s)) AS ts
+       FROM u GROUP BY doc_id, term),
+comb AS (SELECT doc_id, sum(ts) AS score, count(*)::BIGINT AS nt
+         FROM pt GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+WHERE {req}
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "engine_multi_match_cross_fields",
+    _cross_fields_sql(MULTI_MATCH_TERMS, tie_breaker=0.3),
+)
+def engine_multi_match_cross_fields(spark, sf_dir):
+    """ES multi_match ``type: cross_fields`` over title^2/text —
+    term-centric Lucene BlendedTermQuery semantics: per term the fields
+    act as ONE field (max-df blended idf over the shared doc space),
+    tf saturation keeps field-local norms, fields combine per-term
+    dis_max (tie_breaker=0.3), docs sum over terms."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+        match_type="cross_fields", tie_breaker=0.3,
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_multi_match_cross_fields_and",
+    _cross_fields_sql(MULTI_MATCH_TERMS, operator="and"),
+)
+def engine_multi_match_cross_fields_and(spark, sf_dir):
+    """cross_fields with ``operator=and``: every distinct query term
+    must match in SOME queried field (the flagship cross_fields use —
+    entity lookups spread over columns)."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+        match_type="cross_fields", operator="and",
+    )
+    return _topk(plan, 10)
+
+
+def _mm_phrase_prefix_sql(t0, prefix, boosts=((2.0, 3), (1.0, 0)),
+                          tie_breaker=0.0, max_exp=50,
+                          k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for multi_match ``type: phrase_prefix`` over the
+    derived-title pair: per field, the bigram (t0, <prefix>*) matches
+    with the last position holding ANY of the first ``max_exp``
+    expansions of the prefix IN THAT FIELD'S dictionary (index-term
+    order); scored the Lucene MultiPhraseQuery way (idf summed over t0
+    + every expansion, field-local stats, BM25 saturation of the start
+    count) × boost; fields combine dis_max-style."""
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+exp{i} AS (SELECT DISTINCT term FROM tok{i}
+           WHERE term LIKE '{prefix}%' ORDER BY term LIMIT {max_exp}),
+pos{i} AS (SELECT doc_id, L[i] AS term, i
+           FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i
+                 FROM (SELECT doc_id, {toks} AS L
+                       FROM documents WHERE lang = 'en'))),
+m{i} AS (SELECT p0.doc_id, count(*)::BIGINT AS n_occ
+         FROM pos{i} p0
+         JOIN pos{i} p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+         WHERE p0.term = '{t0}' AND p1.term IN (SELECT term FROM exp{i})
+         GROUP BY p0.doc_id),
+sidf{i} AS (SELECT sum(ln((c{i}.n + 1)::DOUBLE / (x.df + 1)::DOUBLE)) AS v
+            FROM (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tok{i}
+                  WHERE term = '{t0}'
+                  UNION ALL
+                  SELECT count(DISTINCT t.doc_id)::BIGINT AS df
+                  FROM tok{i} t JOIN exp{i} e ON t.term = e.term
+                  GROUP BY e.term) x, c{i}
+            WHERE x.df > 0),
+s{i} AS (SELECT m.doc_id,
+                {boost} * sidf{i}.v * ((m.n_occ * ({k1} + 1)) /
+                    (m.n_occ + {k1} * (1 - {b} + {b} * (dl.doc_len / c{i}.avgdl)))) AS s
+         FROM m{i} m JOIN dl{i} dl ON m.doc_id = dl.doc_id, sidf{i}, c{i})""")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, s FROM s{i}" for i in range(len(boosts))
+    )
+    return f"""WITH {','.join(parts)},
+u AS ({unions}),
+comb AS (SELECT doc_id, max(s) + {tie_breaker} * (sum(s) - max(s)) AS score
+         FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "engine_multi_match_phrase_prefix",
+    _mm_phrase_prefix_sql(PHRASE_2[0], PHRASE_2[1][:2]),
+)
+def engine_multi_match_phrase_prefix(spark, sf_dir):
+    """ES multi_match ``type: phrase_prefix`` over title^2/text:
+    'table ha' — per field, the SCORED match_phrase_prefix (the last
+    token expands against each field's own dictionary, MultiPhraseQuery
+    sum-idf scoring, field-local stats) combined dis_max-style."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        f"{PHRASE_2[0]} {PHRASE_2[1][:2]}", fields=["title^2", "text"],
+        match_type="phrase_prefix",
+    )
+    return _topk(plan, 10)
+
+
+def _match_opt_sql(terms, operator="or", msm=None, k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for ES ``match`` with ``operator`` /
+    ``minimum_should_match``: the plain BM25 TAAT scoring plus a
+    matched-distinct-term threshold (posting rows are unique per
+    (term, doc), so count(*) in the same GROUP BY is the matched
+    count); ``operator=and`` additionally empties the result when any
+    query term is unindexed (Lucene MUST over a missing term)."""
+    n_terms = len(set(terms))
+    if operator == "and":
+        req = ("nt >= (SELECT count(*) FROM idf WHERE idf <> 0) "
+               f"AND (SELECT count(*) FROM df) = {n_terms}")
+    elif msm is not None:
+        req = (f"nt >= greatest({int(msm)} - "
+               "(SELECT count(*) FROM idf WHERE idf = 0), 0)")
+    else:
+        req = "nt >= 0"
+    expr = (
+        f"idf.idf * ((tf.tf * ({k1} + 1)) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / corpus.avgdl))))"
+    )
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id, sum({expr}) AS score, count(*)::BIGINT AS nt
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE {req}
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_match_and", _match_opt_sql(Q1_TERMS, operator="and"))
+def engine_match_and(spark, sf_dir):
+    """ES ``match`` with ``operator=and``: every distinct analyzed term
+    must match — compiled as a matched-term count riding the SAME
+    groupBy as the TAAT scoring (zero extra shuffles)."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_scored_plan(" ".join(Q1_TERMS), operator="and")
+    return _topk(plan, 10)
+
+
+@register("engine_match_msm", _match_opt_sql(Q2_TERMS, msm=3))
+def engine_match_msm(spark, sf_dir):
+    """ES ``match`` with ``minimum_should_match=3`` over five OR terms:
+    keep docs matching at least 3 distinct query terms."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_scored_plan(
+        " ".join(Q2_TERMS), minimum_should_match=3
+    )
+    return _topk(plan, 10)
+
+
 def _engine_inc(spark, sf_dir):
     """Engine over an INCREMENTALLY-built index: base build on even
     doc_ids, then ``update_index(add=<odd doc_ids>)`` — which leaves an

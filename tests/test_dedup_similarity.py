@@ -346,3 +346,52 @@ def test_hamming_bucket_cap_noop_when_under_cap(docs):
         ).collect()
     }
     assert capped == base
+
+
+def test_default_bucket_cap_bounds_and_reports(spark):
+    """Round-5: the DEFAULT path (bucket_cap unspecified = "auto" =
+    DEFAULT_BUCKET_CAP) bounds a dense duplicate cluster LARGER than
+    the default cap to linear star pairs — no silent unbounded
+    quadratic join for naive callers — and the cap event is REPORTED
+    via the cap_observation job stats."""
+    from pyspark.sql import Observation
+
+    n = dedup.DEFAULT_BUCKET_CAP + 50
+    dup = "spark shuffles partitions under adaptive execution".split()
+    rows = [(f"d{i:05d}", " ".join(dup), dup) for i in range(n)]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, tokens array<string>"
+    )
+    obs = Observation()
+    pairs = dedup.minhash_lsh_pairs(docs, cap_observation=obs).collect()
+    # star form: n-1 pairs per over-cap bucket, all from the min-id rep
+    assert len(pairs) == n - 1
+    assert all(r["a"] == "d00000" for r in pairs)
+    stats = obs.get
+    assert stats["capped_buckets"] >= 1
+    assert stats["capped_rows"] >= n
+    # explicit opt-out restores the quadratic all-pairs contract on a
+    # small slice (full n would be ~550k pairs; check on 60 docs)
+    small = spark.createDataFrame(
+        rows[:60], "url string, text string, tokens array<string>"
+    )
+    assert dedup.minhash_lsh_pairs(small, bucket_cap=None).count() \
+        == 60 * 59 // 2
+
+
+def test_hamming_default_cap_reports(spark):
+    """Same default-on guard + observation on the generic Hamming band
+    path (simhash / phash consumers)."""
+    from pyspark.sql import Observation
+
+    n = dedup.DEFAULT_BUCKET_CAP + 20
+    sig = spark.createDataFrame(
+        [(f"d{i:05d}", 0x0123456789ABCDEF) for i in range(n)],
+        "id string, h long",
+    )
+    obs = Observation()
+    out = dedup.hamming_near_pairs(
+        sig, id_col="id", hash_col="h", max_hamming=3, cap_observation=obs
+    ).collect()
+    assert len(out) == n - 1
+    assert obs.get["capped_buckets"] >= 1

@@ -640,14 +640,14 @@ def test_in_plan_capped_tier_matches_driver_tier(spark, engine, monkeypatch):
                                      max_expansions=cap)
     monkeypatch.setattr(X, "DRIVER_RANGE_MAX_TERMS", 0)
     assert engine.prefix_expand("s", max_expansions=cap) == want_prefix
-    assert X.LAST_PLAN_ROWS <= cap
+    assert X.last_plan_rows() <= cap
     assert engine.wildcard_expand("s?a*", max_expansions=cap) == want_wild
-    assert X.LAST_PLAN_ROWS <= cap
+    assert X.last_plan_rows() <= cap
     assert engine.regexp_expand("s.*", max_expansions=cap) == want_re
-    assert X.LAST_PLAN_ROWS <= cap
+    assert X.last_plan_rows() <= cap
     assert engine.fuzzy_expand("slaw", max_edits=2, prefix_length=1,
                                max_expansions=cap) == want_fuzzy
-    assert X.LAST_PLAN_ROWS <= cap
+    assert X.last_plan_rows() <= cap
 
 
 def test_in_plan_suggest_matches_driver_tier(spark, engine, monkeypatch):
@@ -661,7 +661,7 @@ def test_in_plan_suggest_matches_driver_tier(spark, engine, monkeypatch):
     assert [(s["text"], s["distance"], s["freq"]) for s in got["slaw"]] == [
         (s["text"], s["distance"], s["freq"]) for s in want["slaw"]
     ]
-    assert X.LAST_PLAN_ROWS <= 5
+    assert X.last_plan_rows() <= 5
 
 
 def test_prefix_expand_term_order_cap(spark, engine):

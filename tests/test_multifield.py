@@ -280,7 +280,7 @@ def test_unindexed_query_empty(mf_engine):
 
 def test_unsupported_type_raises(mf_engine):
     with pytest.raises(ValueError):
-        mf_engine.multi_match_plan("machine", BOOSTS, match_type="cross_fields")
+        mf_engine.multi_match_plan("machine", BOOSTS, match_type="bool_prefix")
     with pytest.raises(ValueError):
         mf_engine.multi_match("machine", fields=BOOSTS,
                               match_type="bool_prefix")
@@ -362,3 +362,110 @@ def test_update_url_only_rows_get_noncolliding_ids(
         ], query
         for g, w in zip(got["results"], want["results"]):
             assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+# ----------------------------------- cross_fields / phrase_prefix (round 5)
+
+@pytest.mark.parametrize("query", [
+    "machine learning",
+    "sparkhead",
+    "running studies dying",
+    "nonexistentterm",
+])
+@pytest.mark.parametrize("tie,operator,msm", [
+    (0.0, "or", None),
+    (0.35, "or", None),
+    (0.0, "and", None),
+    (0.0, "or", 2),
+])
+def test_multi_match_cross_fields_matches_oracle(mf_engine, oracles, query,
+                                                 tie, operator, msm):
+    """ES multi_match type=cross_fields (term-centric BlendedTermQuery:
+    max-df blended idf, field-local norms, per-term dis_max, sum over
+    terms, operator/msm on distinct matched terms) ≡ the oracle."""
+    from elasticsearch_spark.oracle.engine import cross_fields_query
+
+    got = mf_engine.multi_match(
+        query, k=10, fields=["title^2", "text"], match_type="cross_fields",
+        tie_breaker=tie, operator=operator, minimum_should_match=msm,
+    )
+    want = cross_fields_query(
+        oracles, BOOSTS, query, k=10, tie_breaker=tie, operator=operator,
+        minimum_should_match=msm,
+    )
+    _assert_same(got, want, f"{query!r} tb={tie} {operator} msm={msm}")
+
+
+@pytest.mark.parametrize("tie,operator,msm", [
+    (0.0, "or", None), (0.35, "and", None), (0.0, "or", 2),
+])
+def test_cross_fields_turbo_matches_plan(spark, mf_dir, tie, operator, msm):
+    """cross_fields turbo twin ≡ plan tier."""
+    t_eng = MultiMatchEngine(spark, mf_dir, turbo=True)
+    p_eng = MultiMatchEngine(spark, mf_dir, turbo=False)
+    for query in ("machine learning", "running studies dying"):
+        got_t = t_eng.multi_match(
+            query, k=10, fields=BOOSTS, match_type="cross_fields",
+            tie_breaker=tie, operator=operator, minimum_should_match=msm,
+        )
+        got_p = p_eng.multi_match(
+            query, k=10, fields=BOOSTS, match_type="cross_fields",
+            tie_breaker=tie, operator=operator, minimum_should_match=msm,
+        )
+        _assert_same(got_t, got_p, f"{query!r} tb={tie} {operator} msm={msm}")
+
+
+def test_multi_match_phrase_prefix_matches_oracle(mf_engine, oracles, rows):
+    """ES multi_match type=phrase_prefix: per-field SCORED
+    match_phrase_prefix (last token expands against each field's own
+    dictionary, MultiPhraseQuery sum-idf scoring) combined
+    dis_max-style ≡ the oracle.  Uses a title bigram's leading word +
+    a 2-char prefix of its trailing word so the title field genuinely
+    expands and matches."""
+    from elasticsearch_spark.oracle.engine import (
+        multi_match_phrase_prefix_query,
+    )
+
+    found = None
+    for _i, _u, title, _x in rows[:100]:
+        words = title.split()
+        for j in range(len(words) - 1):
+            if oracles["title"].phrase_bm25_scores(
+                f"{words[j]} {words[j + 1]}"
+            ):
+                found = f"{words[j]} {words[j + 1][:2]}"
+                break
+        if found:
+            break
+    assert found, "no title bigram survives the pipeline — fixture drifted"
+    queries = [found, "machine le", "nonexistentterm xx"]
+    for q in queries:
+        got = mf_engine.multi_match(
+            q, k=1000, fields=["title^2", "text"], match_type="phrase_prefix"
+        )
+        want = multi_match_phrase_prefix_query(oracles, BOOSTS, q, k=1000)
+        _assert_same(got, want, q)
+    # non-vacuous: the derived query must actually hit
+    got = mf_engine.multi_match(
+        found, k=10, fields=["title^2", "text"], match_type="phrase_prefix"
+    )
+    assert got["total_hits"] > 0
+
+
+def test_mpp_scored_plan_matches_oracle_single_field(spark, mf_dir, oracles):
+    """Single-field scored match_phrase_prefix plan ≡ oracle mpp_scores
+    (doc set, counts, scores)."""
+    from elasticsearch_spark.operators.query import QueryEngine
+
+    eng = QueryEngine(spark, os.path.join(mf_dir, "fields", "text"))
+    for q in ("machine le", "running stu"):
+        plan = eng.match_phrase_prefix_scored_plan(q)
+        got = ({} if plan is None else {
+            r["doc_id"]: (r["n_occurrences"], r["score"])
+            for r in plan.collect()
+        })
+        want = oracles["text"].mpp_scores(q)
+        assert set(got) == set(want), q
+        for d in want:
+            assert got[d][0] == want[d][0], (q, d)
+            assert abs(got[d][1] - want[d][1]) < 1e-9, (q, d)

@@ -393,3 +393,58 @@ def test_turbo_warm_loop_memory_budget(spark, index_dir):
     assert eng._term_cache_rows <= eng.TURBO_CACHE_MAX_POSTINGS
     assert wand._block_cache_bytes <= wand.TURBO_CACHE_MAX_BYTES
     assert growth < 192.0, f"driver RSS grew {growth:.1f} MB over 125 warm queries"
+
+
+# --------------------------------------- ES match operator / msm (round 5)
+
+MATCH_OPT_QUERIES = [
+    "machine learning",
+    "running studies dying",
+    "machine nonexistentterm",
+    "zo ta ne",
+]
+
+
+def _assert_match_same(got: dict, want: dict, ctx: str):
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in want["results"]
+    ], ctx
+    for g, w in zip(got["results"], want["results"]):
+        assert abs(g["score"] - w["score"]) < 1e-9, ctx
+    assert got["total_hits"] == want["total_hits"], ctx
+
+
+@pytest.mark.parametrize("query", MATCH_OPT_QUERIES)
+@pytest.mark.parametrize("operator,msm", [
+    ("and", None), ("or", 2), ("or", 3), ("or", None),
+])
+def test_match_operator_msm_matches_oracle(engine, oracle_index, query,
+                                           operator, msm):
+    """ES match with operator=and / minimum_should_match ≡ the oracle's
+    match_query spec (matched-distinct-term threshold; and with an
+    unindexed term ⇒ zero hits)."""
+    got = engine.match_search(query, k=10, operator=operator,
+                              minimum_should_match=msm)
+    want = oracle_index.match_query(query, k=10, operator=operator,
+                                    minimum_should_match=msm)
+    _assert_match_same(got, want, f"{query!r} {operator} msm={msm}")
+
+
+@pytest.mark.parametrize("operator,msm", [("and", None), ("or", 2)])
+def test_match_operator_turbo_matches_plan(spark, index_dir, operator, msm):
+    """match_search turbo twin ≡ the plan tier (doc ids, scores 1e-9,
+    total_hits)."""
+    turbo = QueryEngine(spark, index_dir, turbo=True)
+    plan = QueryEngine(spark, index_dir, turbo=False)
+    for query in ("machine learning", "running studies dying"):
+        got_t = turbo.match_search(query, k=10, operator=operator,
+                                   minimum_should_match=msm)
+        got_p = plan.match_search(query, k=10, operator=operator,
+                                  minimum_should_match=msm)
+        _assert_match_same(got_t, got_p, f"{query!r} {operator} msm={msm}")
+
+
+def test_match_or_default_equals_ranked(engine):
+    """operator=or with no msm is exactly the plain ranked match."""
+    for query in ("machine learning", "zo ta ne"):
+        assert engine.match_search(query, k=10) == engine.ranked(query, k=10)
