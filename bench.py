@@ -201,6 +201,13 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
     wand_ms = wand_loop()
     wand_warm_ms = wand_loop()
 
+    # multi-field WAND receipt: per-field block-max pruning for
+    # multi_match (title^2/text over an 8k-doc slice, 256-doc ranges so
+    # the UB prune has ranges to skip) — reports how many block runs
+    # the query DECODED vs the exhaustive plan's total, the number the
+    # pruning exists to shrink
+    mm_wand_stats = _mm_wand_receipt(spark, raw, all_ranked[:5])
+
     # batch path: all ranked queries in one job (the throughput shape)
     t = time.time()
     engine.batch_ranked(all_ranked, k=10)
@@ -226,6 +233,7 @@ def build_and_query(spark, corpus_path: str, tag: str, full: bool = True) -> dic
         },
         "wand_ms_p50": round(float(np.percentile(wand_ms, 50)), 1),
         "wand_ms_p50_warm": round(float(np.percentile(wand_warm_ms, 50)), 2),
+        "mm_wand": mm_wand_stats,
         "qps_sequential": round(len(queries) / (lat_ms.sum() / 1000), 1),
         "qps_sequential_warm": round(len(queries) / (lat_warm_ms.sum() / 1000), 1),
         "qps_batch": round(len(all_ranked) / batch_s, 1),
@@ -251,7 +259,7 @@ def _is_boolean(q: str) -> bool:
 
 
 # ------------------------------------------------------------ A/B vs prev round
-PREV_TAG = os.environ.get("SPARK_GRAFT_AB_TAG", "r3")
+PREV_TAG = os.environ.get("SPARK_GRAFT_AB_TAG", "r4")
 
 
 def _load_prev_package(tag: str):
@@ -423,6 +431,64 @@ def main():
     }
     out.update(extras)
     print(json.dumps(out))
+
+
+def _mm_wand_receipt(spark, raw, queries) -> dict:
+    """Build a small two-field index (title = first 3 tokens of text,
+    the multi-field gate recipe) and serve ``multi_match`` through the
+    multi-field block-max WAND path (operators/multifield.py
+    MultiMatchWand), reporting decoded vs total block runs — the
+    postings-touched receipt the pruning exists for — plus rank
+    identity with the exhaustive plan tier on the first query."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.operators.build import IndexConfig
+    from elasticsearch_spark.operators.multifield import (
+        MultiFieldIndexBuilder,
+        MultiMatchEngine,
+        MultiMatchWand,
+    )
+
+    idx_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_IDX_BASE", "/tmp"), "es_spark_bench_mf"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = raw.limit(8000).withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    )
+    cfg = IndexConfig(n_buckets=16, doc_range_bits=8, use_html=False,
+                      positional=False)
+    t0 = time.time()
+    MultiFieldIndexBuilder(spark, idx_dir, ["title", "text"], cfg).build(docs)
+    build_s = time.time() - t0
+    mmw = MultiMatchWand(spark, idx_dir)
+    fields = ["title^2", "text"]
+    decoded = total = 0
+    lat = []
+    for q in queries:
+        t = time.time()
+        res = mmw.topk(q, k=10, fields=fields, with_stats=True)
+        lat.append(time.time() - t)
+        decoded += res["stats"]["blocks_decoded"]
+        total += res["stats"]["blocks_total"]
+    # identity receipt vs the exhaustive plan tier (first query)
+    eng = MultiMatchEngine(spark, idx_dir, turbo=False)
+    plan = eng.multi_match(queries[0], k=10, fields=fields,
+                           with_total_hits=False)
+    wand_r = mmw.topk(queries[0], k=10, fields=fields)
+    rank_identical = [r["doc_id"] for r in plan["results"]] == [
+        r["doc_id"] for r in wand_r["results"]
+    ]
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "build_seconds": round(build_s, 2),
+        "queries": len(queries),
+        "blocks_decoded": decoded,
+        "blocks_total": total,
+        "decode_ratio": round(decoded / total, 3) if total else None,
+        "p50_ms": round(float(np.percentile(np.array(lat) * 1000, 50)), 2),
+        "rank_identical_to_plan": rank_identical,
+    }
 
 
 def _burn(m: int) -> float:

@@ -590,11 +590,17 @@ class MultiMatchEngine:
                     slop: int = 0, slop_mode: str = "ordered",
                     max_expansions: int = 50,
                     operator: str = "or", minimum_should_match=None,
+                    source: Optional[DataFrame] = None,
+                    source_fields: Sequence[str] = (),
                     with_total_hits: bool = True) -> dict:
         """Reference result shape ``{query, total_hits, results}``
         (``elasticsearch_indexer.py:135-148``), deterministic
         (score desc, doc_id asc) tie-break.  total_hits counts docs
-        matching in ANY queried field (ES semantics)."""
+        matching in ANY queried field (ES semantics).
+
+        With ``source`` given, hits gain ``_source`` = {url,
+        <source_fields>} via the bounded fetch phase (fields share one
+        doc-id space, so any field's docs view resolves the ids)."""
         if match_type not in ("best_fields", "most_fields", "phrase",
                               "phrase_prefix", "cross_fields"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
@@ -605,7 +611,7 @@ class MultiMatchEngine:
                 minimum_should_match, with_total_hits,
             )
             if res is not None:
-                return res
+                return self._fetch(res, source, source_fields)
         elif match_type not in ("phrase", "phrase_prefix"):
             # phrase kinds serve from the plan tier
             res = self._turbo_multi_match(
@@ -613,7 +619,7 @@ class MultiMatchEngine:
                 with_total_hits,
             )
             if res is not None:
-                return res
+                return self._fetch(res, source, source_fields)
         plan = self.multi_match_plan(query, boosts, match_type,
                                      tie_breaker, method, slop, slop_mode,
                                      max_expansions, operator,
@@ -635,13 +641,29 @@ class MultiMatchEngine:
                 .collect()
             )
             total = int(obs.get["n"]) if with_total_hits else None
-        return {
-            "query": query,
-            "total_hits": total,
-            "results": [
-                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
-            ],
-        }
+        return self._fetch(
+            {
+                "query": query,
+                "total_hits": total,
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+                ],
+            },
+            source, source_fields,
+        )
+
+    def _fetch(self, res: dict, source: Optional[DataFrame],
+               source_fields: Sequence[str]) -> dict:
+        """Apply the ES fetch phase to a finished multi_match result
+        (no-op without ``source``): any field engine resolves the
+        shared doc-id space."""
+        if source is None:
+            return res
+        any_eng = next(iter(self.engines.values()))
+        res["results"] = any_eng.fetch_source(
+            res["results"], source, source_fields
+        )
+        return res
 
 
 def _meta_config(meta: dict) -> IndexConfig:
@@ -650,3 +672,196 @@ def _meta_config(meta: dict) -> IndexConfig:
     known = {f.name for f in dc_fields(IndexConfig)}
     return IndexConfig(**{k: v for k, v in (meta.get("config") or {}).items()
                           if k in known})
+
+
+class MultiMatchWand:
+    """Block-max WAND for ``multi_match`` over a multi-field index —
+    the >cutover-scale serving path for best_fields / most_fields
+    (task: prune postings work instead of materializing full per-field
+    hit sets like the plan/turbo tiers).
+
+    Upper-bound algebra over each field's per-doc-range block metadata
+    (``max_impact`` per (term, range), the single-field WAND phase-0
+    inputs — ``operators/wand.py``):
+
+    * per field:   UB_f(range) = Σ_t boost_f · w_t,f · max_impact ·
+      ub_scale (exactly the single-field bound)
+    * most_fields: UB(range)   = Σ_f UB_f(range)
+    * best_fields: score(d) = (1−tb)·max_f s_f(d) + tb·Σ_f s_f(d)
+      ≤ (1−tb)·max_f UB_f + tb·Σ_f UB_f = UB(range)  (0 ≤ tb ≤ 1)
+
+    Then the standard lossless two-phase dance: score the top-S UB
+    ranges exactly (per-field dense-array decode → combine per doc
+    slot), θ = k-th best, decode only ranges with UB ≥ θ.  Ranges
+    below θ cannot place a doc in the top-k because UB bounds every
+    per-doc combined score.  Results are identical to
+    ``MultiMatchEngine.multi_match_plan`` (pytest-enforced).
+
+    The distributed twin is structural: phase 0 is the same metadata
+    aggregation per field unioned before the groupBy(range_id), and the
+    kernel is per-field ``applyInPandas`` arrays combined per range —
+    this driver tier exists for the same reason as
+    ``WandEngine._turbo_topk`` (the point read IS the latency at
+    interactive scale) and doubles as the receipt generator
+    (``stats["blocks_decoded"] / ["blocks_total"]`` = postings work
+    actually done vs the exhaustive plan)."""
+
+    SEED_RANGES = 4
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from .wand import WandEngine
+
+        self.spark = spark
+        self.index_dir = index_dir
+        meta = _load_meta(index_dir)
+        self.fields: List[str] = list(meta["fields"])
+        self.wands = {
+            f: WandEngine(spark, os.path.join(index_dir, "fields", f))
+            for f in self.fields
+        }
+        bits = {w.range_bits for w in self.wands.values()}
+        if len(bits) != 1:
+            raise ValueError(f"field sub-indexes disagree on range_bits: {bits}")
+        self.range_bits = bits.pop()
+
+    def topk(self, query: str, k: int = 10, fields: FieldsArg = None,
+             match_type: str = "best_fields", tie_breaker: float = 0.0,
+             with_stats: bool = False) -> dict:
+        """Reference result shape (+ ``stats`` when asked): rank- and
+        score-identical to the multi_match plan tier for
+        best_fields/most_fields."""
+        import numpy as np
+
+        from ..functions import codec
+
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"multi-field WAND serves best_fields/most_fields, "
+                f"not {match_type!r}"
+            )
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("tie_breaker must be in [0, 1]")
+        boosts = parse_fields(fields, default=self.fields)
+        fnames = [f for f in boosts if f in self.wands]
+        if len(fnames) != len(boosts):
+            missing = set(boosts) - set(self.wands)
+            raise KeyError(f"fields {sorted(missing)} are not indexed")
+        # per-field weights (idf × multiplicity × boost) + block rows
+        field_rows: Dict[str, Dict[int, list]] = {}
+        field_w: Dict[str, Dict[str, float]] = {}
+        ub_f: Dict[str, Dict[int, float]] = {}
+        blocks_total = 0
+        for f in fnames:
+            w = self.wands[f]._weights(query)
+            if not w:
+                continue
+            rows = self.wands[f]._term_block_rows(sorted(w))
+            blocks_total += len(rows)
+            by_range: Dict[int, list] = {}
+            ubf: Dict[int, float] = {}
+            boost = float(boosts[f])
+            for row in rows:
+                scale, term, rid, mi = row[0], row[1], row[2], row[3]
+                ubf[rid] = ubf.get(rid, 0.0) + boost * w[term] * mi * scale
+                by_range.setdefault(rid, []).append(row)
+            for group in by_range.values():
+                group.sort(key=lambda x: x[1])
+            field_rows[f] = by_range
+            field_w[f] = {t: boost * v for t, v in w.items()}
+            ub_f[f] = ubf
+        empty = {"query": query, "total_hits": None, "results": []}
+        if not field_rows:
+            if with_stats:
+                empty["stats"] = {"ranges_scored": 0, "ranges_total": 0,
+                                  "blocks_decoded": 0, "blocks_total": 0}
+            return empty
+        # combined per-range UB
+        all_rids = set()
+        for ubf in ub_f.values():
+            all_rids.update(ubf)
+        tb = float(tie_breaker)
+        ub: Dict[int, float] = {}
+        for rid in all_rids:
+            vals = [ub_f[f].get(rid, 0.0) for f in field_rows]
+            if match_type == "most_fields":
+                ub[rid] = sum(vals)
+            else:
+                ub[rid] = (1.0 - tb) * max(vals) + tb * sum(vals)
+
+        blocks_decoded = 0
+
+        def score_range(rid):
+            nonlocal blocks_decoded
+            base = rid << self.range_bits
+            size = 1 << self.range_bits
+            per_field = []
+            for f, by_range in field_rows.items():
+                rows_r = by_range.get(rid)
+                if not rows_r:
+                    continue
+                wand = self.wands[f]
+                tomb = (
+                    np.asarray(sorted(wand._tombstones), dtype=np.int64)
+                    if wand._tombstones else np.empty(0, dtype=np.int64)
+                )
+                arr = np.zeros(size, dtype=np.float64)
+                for scale, term, _r, _mi, db, tbx, lb in rows_r:
+                    blocks_decoded += 1
+                    d, t, l = codec.decode_block(db, tbx, lb, wand.codec)
+                    ok = l > 0
+                    if tomb.size:
+                        ok &= ~np.isin(d, tomb)
+                    imp = codec.bm25_impact(
+                        t[ok], l[ok], wand.avg_doc_len, wand.k1, wand.b
+                    )
+                    np.add.at(arr, d[ok] - base, field_w[f][term] * imp)
+                per_field.append(arr)
+            if not per_field:
+                e = np.empty(0, dtype=np.int64)
+                return e, np.empty(0, dtype=np.float64)
+            stack = np.stack(per_field)
+            tot = stack.sum(axis=0)
+            if match_type == "most_fields":
+                comb = tot
+            else:
+                best = stack.max(axis=0)
+                comb = best + tb * (tot - best)
+            nz = np.nonzero(comb)[0]
+            return nz + base, comb[nz]
+
+        by_ub = sorted(ub, key=lambda r: -ub[r])
+        docs_all, scores_all = [], []
+        n_scored = 0
+        for rid in by_ub[: self.SEED_RANGES]:
+            d, s = score_range(rid)
+            n_scored += 1
+            docs_all.append(d)
+            scores_all.append(s)
+        cand_s = np.concatenate(scores_all) if scores_all else np.empty(0)
+        theta0 = np.sort(cand_s)[::-1][k - 1] if cand_s.size >= k else 0.0
+        for rid in by_ub[self.SEED_RANGES:]:
+            if ub[rid] < theta0:
+                continue
+            d, s = score_range(rid)
+            n_scored += 1
+            docs_all.append(d)
+            scores_all.append(s)
+        cand_d = np.concatenate(docs_all)
+        cand_s = np.concatenate(scores_all)
+        order = np.lexsort((cand_d, -cand_s))[:k]
+        out = {
+            "query": query,
+            "total_hits": None,
+            "results": [
+                {"doc_id": int(cand_d[i]), "score": float(cand_s[i])}
+                for i in order
+            ],
+        }
+        if with_stats:
+            out["stats"] = {
+                "ranges_scored": n_scored,
+                "ranges_total": len(ub),
+                "blocks_decoded": blocks_decoded,
+                "blocks_total": blocks_total,
+            }
+        return out

@@ -690,6 +690,95 @@ class QueryEngine:
             | ((F.col("score") == sa_score) & (F.col("doc_id") > sa_doc))
         )
 
+    # ------------------------------------------------- fetch phase (ES)
+    def doc_urls(self, doc_ids: Sequence[int]) -> Dict[int, str]:
+        """Bounded docID → url point lookup over the LIVE docs view —
+        the Lucene stored-field indirection (ES resolves hits to
+        ``_source`` through exactly this map).  The ids literal is
+        pushed into the parquet scan (row-group min/max pruning; docs
+        files are written in doc_id order), so the read touches
+        O(hit-count) row groups, never the corpus."""
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return {}
+        from .reader import live_docs
+
+        self._refresh_if_stale()
+        rows = (
+            live_docs(self.spark, self.index_dir, self._manifest)
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "url")
+            .collect()
+        )
+        return {r["doc_id"]: r["url"] for r in rows}
+
+    def fetch_source(self, results: List[dict], source: DataFrame,
+                     fields: Sequence[str],
+                     url_col: str = "url") -> List[dict]:
+        """ES fetch phase for an already-ranked hit list: enrich each
+        ``{doc_id, score}`` with ``_source`` = {url, <fields>} from the
+        caller's source table (the lake table the index was built from
+        — this engine's ``_source`` store; reference consumes
+        ``hit["_source"]``, elasticsearch_indexer.py:135-148).
+
+        Two bounded steps, both k-sized: docID → url via
+        :meth:`doc_urls`, then the url literals pushed into the source
+        scan (predicate + column pruning — a top-10 fetch reads ~10 row
+        groups of the 100-TB table, not the table)."""
+        ids = [r["doc_id"] for r in results]
+        id2url = self.doc_urls(ids)
+        urls = sorted(set(id2url.values()))
+        src_rows = {}
+        if urls:
+            for r in (
+                source.filter(F.col(url_col).isin(urls))
+                .select(url_col, *fields)
+                .collect()
+            ):
+                src_rows[r[url_col]] = {f: r[f] for f in fields}
+        out = []
+        for r in results:
+            url = id2url.get(r["doc_id"])
+            src = {"url": url}
+            src.update(src_rows.get(url, {f: None for f in fields}))
+            out.append({**r, "_source": src})
+        return out
+
+    def fetch_plan(self, topk: DataFrame, source: DataFrame,
+                   fields: Sequence[str],
+                   url_col: str = "url") -> DataFrame:
+        """Plan-shaped fetch (for composing into larger jobs): the tiny
+        top-k side BROADCASTS into both joins — docID → url against the
+        live docs view, then url → stored fields against the source
+        table — so neither large table shuffles.  Interactive queries
+        use :meth:`fetch_source` instead (ids pushed into the scan)."""
+        from .reader import live_docs
+
+        self._refresh_if_stale()
+        d = live_docs(self.spark, self.index_dir, self._manifest).select(
+            "doc_id", "url"
+        )
+        j = d.join(F.broadcast(topk), "doc_id")
+        src = source.select(F.col(url_col).alias("url"), *fields)
+        return src.join(F.broadcast(j), "url")
+
+    def search(self, query: str, k: int = 10, method: str = "bm25",
+               source: Optional[DataFrame] = None,
+               source_fields: Sequence[str] = (), **kwargs) -> dict:
+        """:meth:`ranked` + the ES fetch phase: with ``source`` given,
+        every hit gains ``_source`` = {url, <source_fields>} resolved
+        through the bounded point-read fetch (:meth:`fetch_source`) —
+        the full ES result shape the reference consumes
+        (``hit["_source"]``, elasticsearch_indexer.py:135-148).  Works
+        identically over both serving tiers (the fetch runs on the hit
+        LIST, after ranking)."""
+        res = self.ranked(query, k, method, **kwargs)
+        if source is not None:
+            res["results"] = self.fetch_source(
+                res["results"], source, source_fields
+            )
+        return res
+
     # ------------------------------------------ match operator / msm (ES)
     def _match_required(self, terms: Sequence[str], operator: str,
                         minimum_should_match) -> Optional[int]:

@@ -878,6 +878,51 @@ WHERE {req}
 ORDER BY score_r DESC, doc_id LIMIT {k}"""
 
 
+_FETCH_SQL = f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(Q1_TERMS)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * ((tf.tf * ({K1} + 1)) /
+                      (tf.tf + {K1} * (1 - {B} + {B} * (dl.doc_len / corpus.avgdl))))) AS score
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id),
+top AS (SELECT doc_id, round(score, 6) AS score_r FROM scored
+        ORDER BY score_r DESC, doc_id LIMIT 10)
+SELECT t.doc_id, t.score_r, CAST(d.doc_id AS VARCHAR) AS url,
+       array_to_string(string_split(d.text, ' ')[1:3], ' ') AS title
+FROM top t JOIN documents d ON t.doc_id = d.doc_id
+ORDER BY t.score_r DESC, t.doc_id"""
+
+
+@register("engine_fetch_source", _FETCH_SQL)
+def engine_fetch_source(spark, sf_dir):
+    """ES fetch phase (stored fields / ``_source``): the BM25 top-10
+    resolved to (url, title) through the engine's fetch join — docID →
+    url via the live docs view, url → stored fields against the source
+    lake table, the tiny top-k side broadcast into both joins (the
+    reference consumes hit["_source"], elasticsearch_indexer.py:135-148;
+    title derived as the first 3 tokens, same recipe as the multi-field
+    gates)."""
+    eng = _engine(spark, sf_dir)
+    top = _topk(eng.score_plan(" ".join(Q1_TERMS)), 10)
+    # the documents lake table has no url column, so the build stored
+    # url = str(doc_id) (build.py prepare_docs) — derive the SAME key
+    # here so the fetch join resolves
+    src = _docs(spark, sf_dir, lang=None).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("title"),
+    )
+    return eng.fetch_plan(top, src, ["title"]).select(
+        "doc_id", "score_r", "url", "title"
+    )
+
+
 @register("engine_match_and", _match_opt_sql(Q1_TERMS, operator="and"))
 def engine_match_and(spark, sf_dir):
     """ES ``match`` with ``operator=and``: every distinct analyzed term

@@ -469,3 +469,61 @@ def test_mpp_scored_plan_matches_oracle_single_field(spark, mf_dir, oracles):
         for d in want:
             assert got[d][0] == want[d][0], (q, d)
             assert abs(got[d][1] - want[d][1]) < 1e-9, (q, d)
+
+
+def test_multi_match_fetch_source(spark, mf_engine, rows):
+    """multi_match(source=...) attaches _source (url + fields) through
+    the shared doc-id space."""
+    src = spark.createDataFrame(
+        [(u, t) for _i, u, t, _x in rows], "url string, title string"
+    )
+    res = mf_engine.multi_match(
+        "machine learning", k=5, fields=["title^2", "text"],
+        source=src, source_fields=["title"],
+    )
+    assert res["results"]
+    url_of = {i: u for i, u, _t, _x in rows}
+    title_of = {u: t for _i, u, t, _x in rows}
+    for hit in res["results"]:
+        s = hit["_source"]
+        assert s["url"] == url_of[hit["doc_id"]]
+        assert s["title"] == title_of[s["url"]]
+
+
+@pytest.mark.parametrize("match_type,tie", VARIANTS)
+def test_multi_match_wand_matches_plan(spark, mf_dir, match_type, tie):
+    """Multi-field block-max WAND ≡ the exhaustive plan tier (doc ids
+    and scores) for best_fields (tb 0/0.35) and most_fields — the
+    lossless UB algebra: best_fields UB = (1−tb)·max_f UB_f +
+    tb·Σ_f UB_f, most_fields UB = Σ_f UB_f."""
+    from elasticsearch_spark.operators.multifield import MultiMatchWand
+
+    mmw = MultiMatchWand(spark, mf_dir)
+    plan = MultiMatchEngine(spark, mf_dir, turbo=False)
+    for query in ("machine learning", "running studies dying",
+                  "sparkhead", "nonexistentterm"):
+        got = mmw.topk(query, k=10, fields=BOOSTS, match_type=match_type,
+                       tie_breaker=tie, with_stats=True)
+        want = plan.multi_match(query, k=10, fields=BOOSTS,
+                                match_type=match_type, tie_breaker=tie,
+                                with_total_hits=False)
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in want["results"]
+        ], (query, match_type, tie)
+        for g, w in zip(got["results"], want["results"]):
+            assert abs(g["score"] - w["score"]) < 1e-9, (query, match_type)
+        st = got["stats"]
+        assert st["blocks_decoded"] <= st["blocks_total"]
+        assert st["ranges_scored"] <= st["ranges_total"]
+
+
+def test_multi_match_wand_rejects_bad_args(spark, mf_dir):
+    from elasticsearch_spark.operators.multifield import MultiMatchWand
+
+    mmw = MultiMatchWand(spark, mf_dir)
+    with pytest.raises(ValueError):
+        mmw.topk("machine", match_type="phrase")
+    with pytest.raises(ValueError):
+        mmw.topk("machine", tie_breaker=1.5)
+    with pytest.raises(KeyError):
+        mmw.topk("machine", fields=["nosuchfield"])

@@ -448,3 +448,47 @@ def test_match_or_default_equals_ranked(engine):
     """operator=or with no msm is exactly the plain ranked match."""
     for query in ("machine learning", "zo ta ne"):
         assert engine.match_search(query, k=10) == engine.ranked(query, k=10)
+
+
+# ------------------------------------------------ fetch phase (round 5)
+
+def test_search_fetch_source(spark, engine, corpus):
+    """ES fetch phase: search(source=...) resolves each hit's doc_id →
+    url (live docs view) → stored fields from the source table; url
+    mapping must equal the build's url-order id assignment."""
+    urls = sorted(
+        r["url"] for r in corpus.filter(F.col("lang") == "en")
+        .select("url").collect()
+    )
+    lang_of = {r["url"]: r["lang"] for r in corpus.collect()}
+    res = engine.search("sparkhead visit", k=5, source=corpus,
+                        source_fields=["lang"])
+    assert res["results"], "query must hit for a non-vacuous fetch test"
+    for hit in res["results"]:
+        src = hit["_source"]
+        assert src["url"] == urls[hit["doc_id"]]
+        assert src["lang"] == lang_of[src["url"]] == "en"
+    # rank part identical to plain ranked
+    plain = engine.ranked("sparkhead visit", k=5)
+    assert [(h["doc_id"], h["score"]) for h in res["results"]] == [
+        (h["doc_id"], h["score"]) for h in plain["results"]
+    ]
+
+
+def test_fetch_plan_matches_fetch_source(spark, index_dir, corpus):
+    """The plan-shaped fetch join ≡ the driver point-read fetch."""
+    eng = QueryEngine(spark, index_dir)
+    res = eng.ranked("sparkhead visit", k=5)
+    assert res["results"], "query must hit for a non-vacuous plan-fetch test"
+    driver = eng.fetch_source(res["results"], corpus, ["lang"])
+
+    top = spark.createDataFrame(
+        [(h["doc_id"], h["score"]) for h in res["results"]],
+        "doc_id long, score double",
+    )
+    rows = eng.fetch_plan(top, corpus, ["lang"]).collect()
+    got = {r["doc_id"]: (r["url"], r["lang"]) for r in rows}
+    assert got == {
+        h["doc_id"]: (h["_source"]["url"], h["_source"]["lang"])
+        for h in driver
+    }
