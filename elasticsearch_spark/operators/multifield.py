@@ -271,9 +271,19 @@ class MultiMatchEngine:
 
         ``match_type="cross_fields"`` is TERM-centric (Lucene
         BlendedTermQuery — see :meth:`_cross_fields_plan`); honors
-        ``operator``/``minimum_should_match``."""
+        ``operator``/``minimum_should_match``.
+
+        ``match_type="bool_prefix"`` (search-as-you-type) runs a
+        per-field ``match_bool_prefix``
+        (:meth:`~.query.QueryEngine.match_bool_prefix_scored_plan`:
+        scored full terms + constant-score trailing-prefix clause,
+        expanded against EACH field's own dictionary) and SUMS the
+        per-field scores — ES documents bool_prefix scoring as
+        most_fields-style; honors ``operator``/``minimum_should_match``
+        per field."""
         if match_type not in ("best_fields", "most_fields", "phrase",
-                              "phrase_prefix", "cross_fields"):
+                              "phrase_prefix", "cross_fields",
+                              "bool_prefix"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
         if match_type == "cross_fields":
@@ -298,6 +308,11 @@ class MultiMatchEngine:
                     p = p.filter(F.col("n_occurrences") > 0).select(
                         "doc_id", "score"
                     )
+            elif match_type == "bool_prefix":
+                p = eng.match_bool_prefix_scored_plan(
+                    query, max_expansions, method, operator,
+                    minimum_should_match,
+                )
             else:
                 p = eng.score_plan(query, method)
             if p is not None:
@@ -312,7 +327,7 @@ class MultiMatchEngine:
         u = plans[0]
         for p in plans[1:]:
             u = u.unionByName(p)
-        if match_type == "most_fields":
+        if match_type in ("most_fields", "bool_prefix"):
             return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
         return (
             u.groupBy("doc_id")
@@ -602,7 +617,8 @@ class MultiMatchEngine:
         <source_fields>} via the bounded fetch phase (fields share one
         doc-id space, so any field's docs view resolves the ids)."""
         if match_type not in ("best_fields", "most_fields", "phrase",
-                              "phrase_prefix", "cross_fields"):
+                              "phrase_prefix", "cross_fields",
+                              "bool_prefix"):
             raise ValueError(f"unsupported multi_match type {match_type!r}")
         boosts = parse_fields(fields, default=self.fields)
         if match_type == "cross_fields":
@@ -612,8 +628,8 @@ class MultiMatchEngine:
             )
             if res is not None:
                 return self._fetch(res, source, source_fields)
-        elif match_type not in ("phrase", "phrase_prefix"):
-            # phrase kinds serve from the plan tier
+        elif match_type not in ("phrase", "phrase_prefix", "bool_prefix"):
+            # phrase + bool_prefix kinds serve from the plan tier
             res = self._turbo_multi_match(
                 query, k, boosts, match_type, tie_breaker, method,
                 with_total_hits,

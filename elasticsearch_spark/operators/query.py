@@ -523,20 +523,22 @@ class QueryEngine:
             .agg(F.sum("score").alias("score"))
         )
 
-    def score_plan(self, query: str, method: str = "bm25",
-                   terms: Optional[List[str]] = None) -> Optional[DataFrame]:
-        """The full scoring DataFrame (doc_id, score) for a free-text
-        query — no top-k truncation.  None if no query term is indexed.
-        ``terms`` bypasses tokenization (prefix/fuzzy expansions)."""
-        if terms is None:
-            terms = self._terms(query)
+    def _scored_postings_rows(self, terms: List[str],
+                              method: str) -> Optional[DataFrame]:
+        """Per-(term, doc) scored posting rows ``(doc_id, score)`` — the
+        ONE plan-side source of the BM25/TF-IDF scoring expression (the
+        distributed twin of :meth:`_turbo_scored_rows`): score = idf ×
+        multiplicity × impact per row, doc_len>0 filtered.  None when
+        no analyzed term is live (missing or idf==0, reference
+        semantics).  Rows are unique per (term, doc), so a downstream
+        ``count(*)`` in the scoring groupBy IS the matched-distinct-term
+        count."""
         idf_map = self.term_idf(terms)
-        # reference semantics: skip missing terms and idf==0 terms
-        terms = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
-        if not terms:
+        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
+        if not live:
             return None
         idf_items: list = []
-        for t in sorted(set(terms)):
+        for t in sorted(set(live)):
             idf_items += [F.lit(t), F.lit(float(idf_map[t]))]
         idf_col = F.create_map(*idf_items)[F.col("term")]
 
@@ -545,11 +547,11 @@ class QueryEngine:
         from collections import Counter
 
         mult_items: list = []
-        for t, c in Counter(terms).items():
+        for t, c in Counter(live).items():
             mult_items += [F.lit(t), F.lit(float(c))]
         mult_col = F.create_map(*mult_items)[F.col("term")]
 
-        p = self._pruned_postings(sorted(set(terms)))
+        p = self._pruned_postings(sorted(set(live)))
         k1, b = self.k1, self.b
         if method == "bm25":
             score = idf_col * (
@@ -563,9 +565,21 @@ class QueryEngine:
             score = (F.col("tf") / F.col("doc_len")) * idf_col
         else:
             raise ValueError(f"unknown scoring method {method!r}")
-        score = score * mult_col
-        scored = p.filter(F.col("doc_len") > 0).withColumn("score", score)
-        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return p.filter(F.col("doc_len") > 0).select(
+            "doc_id", (score * mult_col).alias("score")
+        )
+
+    def score_plan(self, query: str, method: str = "bm25",
+                   terms: Optional[List[str]] = None) -> Optional[DataFrame]:
+        """The full scoring DataFrame (doc_id, score) for a free-text
+        query — no top-k truncation.  None if no query term is indexed.
+        ``terms`` bypasses tokenization (prefix/fuzzy expansions)."""
+        if terms is None:
+            terms = self._terms(query)
+        rows = self._scored_postings_rows(terms, method)
+        if rows is None:
+            return None
+        return rows.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def ranked(self, query: str, k: int = 10, method: str = "bm25",
                with_total_hits: bool = True,
@@ -830,37 +844,11 @@ class QueryEngine:
         required = self._match_required(terms, operator, minimum_should_match)
         if required is None:
             return self._empty_scored_plan()
-        idf_map = self.term_idf(terms)
-        live = [t for t in terms if idf_map.get(t, 0.0) != 0.0]
-        if not live:
+        rows = self._scored_postings_rows(terms, method)
+        if rows is None:
             return None
-        from collections import Counter
-
-        idf_items: list = []
-        mult_items: list = []
-        for t, c in Counter(live).items():
-            idf_items += [F.lit(t), F.lit(float(idf_map[t]))]
-            mult_items += [F.lit(t), F.lit(float(c))]
-        idf_col = F.create_map(*idf_items)[F.col("term")]
-        mult_col = F.create_map(*mult_items)[F.col("term")]
-        p = self._pruned_postings(sorted(set(live)))
-        k1, b = self.k1, self.b
-        if method == "bm25":
-            score = idf_col * (
-                (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * (F.col("doc_len") / F.lit(self.avg_doc_len)))
-                )
-            )
-        elif method == "tfidf":
-            score = (F.col("tf") / F.col("doc_len")) * idf_col
-        else:
-            raise ValueError(f"unknown scoring method {method!r}")
         return (
-            p.filter(F.col("doc_len") > 0)
-            .withColumn("score", score * mult_col)
-            .groupBy("doc_id")
+            rows.groupBy("doc_id")
             .agg(F.sum("score").alias("score"),
                  F.count(F.lit(1)).alias("_nt"))
             .filter(F.col("_nt") >= F.lit(int(required)))
@@ -920,6 +908,201 @@ class QueryEngine:
             return res
         plan = self.match_scored_plan(query, method, operator,
                                       minimum_should_match)
+        if plan is None:
+            return {
+                "query": query,
+                "total_hits": 0 if with_total_hits else None,
+                "results": [],
+            }
+        if with_total_hits:
+            obs = Observation()
+            plan = plan.observe(obs, F.count(F.lit(1)).alias("n"))
+        with self._interactive():
+            top = (
+                plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"]) if with_total_hits else None
+        return {
+            "query": query,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+            ],
+        }
+
+    # ------------------------------------------- match_bool_prefix (ES)
+    def _bool_prefix_required(self, full: Sequence[str], exp: Sequence[str],
+                              operator: str,
+                              minimum_should_match) -> Optional[int]:
+        """Matched-CLAUSE threshold for ES ``match_bool_prefix``: each
+        distinct full term is one clause, the trailing prefix is one
+        clause.  None ⇒ can never match (operator=and with an unindexed
+        full term or a prefix with zero expansions).  Zero-idf full
+        terms auto-match every doc and reduce the requirement, the
+        :meth:`_match_required` spec."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"unknown match operator {operator!r}")
+        distinct = set(full)
+        self.term_idf(sorted(distinct))
+        if operator == "and" and (
+            not exp
+            or any(self._df_cache.get(t, 0) == 0 for t in distinct)
+        ):
+            return None
+        live = {t for t in distinct
+                if self._df_cache.get(t, 0) > 0
+                and self._idf_cache.get(t, 0.0) != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct
+            if self._df_cache.get(t, 0) > 0
+            and self._idf_cache.get(t, 0.0) == 0.0
+        )
+        if operator == "and":
+            return len(live) + 1  # the prefix clause must match too
+        if minimum_should_match is None:
+            return 0
+        return max(int(minimum_should_match) - n_zero_idf, 0)
+
+    def match_bool_prefix_scored_plan(self, query: str,
+                                      max_expansions: int = 50,
+                                      method: str = "bm25",
+                                      operator: str = "or",
+                                      minimum_should_match=None
+                                      ) -> Optional[DataFrame]:
+        """ES ``match_bool_prefix`` as a (doc_id, score) plan: every
+        analyzed term except the last is a normally-scored term clause
+        (:meth:`_scored_postings_rows`); the LAST term is a
+        CONSTANT-SCORE prefix clause (Lucene's PrefixQuery rewrite
+        scores 1.0 inside the bool) matching any of its first
+        ``max_expansions`` dictionary continuations in index-term
+        order.  The two clause kinds union before ONE groupBy(doc_id)
+        — the matched-clause count rides the same aggregate, so
+        operator/minimum_should_match add zero extra shuffles.  None
+        when nothing can match at all (ES: zero hits)."""
+        terms = self._terms(query)
+        if not terms:
+            return None
+        full, pre = terms[:-1], terms[-1]
+        exp = self.prefix_expand(pre, max_expansions, order="term")
+        required = self._bool_prefix_required(
+            full, exp, operator, minimum_should_match
+        )
+        if required is None:
+            return self._empty_scored_plan()
+        parts = []
+        if full:
+            rows = self._scored_postings_rows(full, method)
+            if rows is not None:
+                parts.append(rows)
+        if exp:
+            parts.append(
+                self._pruned_postings(sorted(set(exp)))
+                .filter(F.col("doc_len") > 0)
+                .select("doc_id")
+                .distinct()
+                .withColumn("score", F.lit(1.0))
+            )
+        if not parts:
+            return None
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"),
+                 F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") >= F.lit(int(required)))
+            .select("doc_id", "score")
+        )
+
+    def _turbo_match_bool_prefix(self, query: str, k: int,
+                                 max_expansions: int, method: str,
+                                 operator: str, minimum_should_match,
+                                 want_total: bool) -> Optional[dict]:
+        """Driver-side twin of :meth:`match_bool_prefix_scored_plan` +
+        top-k (result-identical; full-term clauses share
+        :meth:`_turbo_scored_rows`, the prefix clause is a pruned
+        point read)."""
+        if not self.turbo:
+            return None
+        import numpy as np
+
+        terms = self._terms(query)
+        empty = {
+            "query": query,
+            "total_hits": 0 if want_total else None,
+            "results": [],
+        }
+        if not terms:
+            return empty
+        full, pre = terms[:-1], terms[-1]
+        exp = self.prefix_expand(pre, max_expansions, order="term")
+        required = self._bool_prefix_required(
+            full, exp, operator, minimum_should_match
+        )
+        if required is None:
+            return empty
+        if full:
+            got = self._turbo_scored_rows(full, method)
+            if got is None:
+                return None  # over budget: the distributed plan serves
+            _uniq, _codes, doc, s = got
+        else:
+            doc = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float64)
+        pdocs = np.empty(0, dtype=np.int64)
+        if exp:
+            uniq_exp = sorted(set(exp))
+            self.term_idf(uniq_exp)  # populate the live df cache
+            if (
+                sum(self._df_cache.get(t, 0) for t in uniq_exp)
+                > self.TURBO_MAX_POSTINGS
+            ):
+                return None
+            try:
+                _t, d, _tf, dl = self._postings_point_read(uniq_exp)
+            except Exception:
+                return None
+            pdocs = np.unique(d[dl > 0])
+        all_doc = np.concatenate([doc, pdocs])
+        if all_doc.size == 0:
+            return empty
+        all_s = np.concatenate([s, np.ones(pdocs.size, dtype=np.float64)])
+        docs_u, inv = np.unique(all_doc, return_inverse=True)
+        scores = np.bincount(inv, weights=all_s)
+        nt = np.bincount(inv)
+        keep = nt >= required
+        docs_u, scores = docs_u[keep], scores[keep]
+        order = np.lexsort((docs_u, -scores))[:k]
+        return {
+            "query": query,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def match_bool_prefix(self, query: str, k: int = 10,
+                          max_expansions: int = 50, method: str = "bm25",
+                          operator: str = "or", minimum_should_match=None,
+                          with_total_hits: bool = True) -> dict:
+        """ES ``match_bool_prefix`` in the reference result shape: the
+        search-as-you-type bool query — full terms scored normally,
+        trailing prefix as a constant-score clause (score 1.0 per the
+        Lucene constant-score prefix rewrite).  Two tiers like every
+        query path."""
+        res = self._turbo_match_bool_prefix(
+            query, k, max_expansions, method, operator,
+            minimum_should_match, with_total_hits,
+        )
+        if res is not None:
+            return res
+        plan = self.match_bool_prefix_scored_plan(
+            query, max_expansions, method, operator, minimum_should_match
+        )
         if plan is None:
             return {
                 "query": query,

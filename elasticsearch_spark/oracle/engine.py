@@ -423,6 +423,85 @@ class OracleIndex:
             out[doc] = (pf, s)
         return out
 
+    # --------------------------------------------- match_bool_prefix (ES)
+    def match_bool_prefix_score_all(self, query: str,
+                                    max_expansions: int = 50,
+                                    method: str = "bm25",
+                                    operator: str = "or",
+                                    minimum_should_match: int | None = None,
+                                    pretokenized_query: bool = False
+                                    ) -> Dict[int, float]:
+        """doc_id → score for ES ``match_bool_prefix``
+        (search-as-you-type): every analyzed term except the last is a
+        normally-scored term clause (the :meth:`match_query` spec), the
+        LAST term is a CONSTANT-SCORE prefix clause (score 1.0, the
+        Lucene constant-score prefix rewrite inside the bool) matching
+        any of its first ``max_expansions`` dictionary continuations in
+        index-term order.  ``operator="and"`` requires every full-term
+        clause AND the prefix clause; ``minimum_should_match`` counts
+        matched clauses (prefix clause = 1; zero-idf full terms
+        auto-match and reduce the requirement)."""
+        terms = query.split() if pretokenized_query else preprocess_query(query)
+        if not terms:
+            return {}
+        full, pre = terms[:-1], terms[-1]
+        exp = self.prefix_expansions(pre, max_expansions)
+        distinct = set(full)
+        if operator == "and" and (
+            not exp or any(self.df(t) == 0 for t in distinct)
+        ):
+            return {}
+        live = {t for t in distinct
+                if self.df(t) > 0 and self.idf.get(t, 0.0) != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct
+            if self.df(t) > 0 and self.idf.get(t, 0.0) == 0.0
+        )
+        if operator == "and":
+            required = len(live) + 1
+        elif minimum_should_match is None:
+            required = 0
+        else:
+            required = max(int(minimum_should_match) - n_zero_idf, 0)
+        scores = (dict(self.score_all(" ".join(full), method,
+                                      pretokenized_query=True))
+                  if full else {})
+        matched: Dict[int, int] = {}
+        for t in live:
+            for doc_id, _tf in self.postings.get(t, ()):
+                if self.doc_len.get(doc_id, 0) > 0:
+                    matched[doc_id] = matched.get(doc_id, 0) + 1
+        prefix_docs: set = set()
+        for t in exp:
+            for doc_id, _tf in self.postings.get(t, ()):
+                if self.doc_len.get(doc_id, 0) > 0:
+                    prefix_docs.add(doc_id)
+        for d in prefix_docs:
+            scores[d] = scores.get(d, 0.0) + 1.0
+            matched[d] = matched.get(d, 0) + 1
+        return {d: s for d, s in scores.items()
+                if matched.get(d, 0) >= required}
+
+    def match_bool_prefix_query(self, query: str, k: int = 10,
+                                max_expansions: int = 50,
+                                method: str = "bm25",
+                                operator: str = "or",
+                                minimum_should_match: int | None = None,
+                                pretokenized_query: bool = False) -> dict:
+        """:meth:`match_bool_prefix_score_all` in the reference result
+        shape with the deterministic (score desc, doc_id asc)
+        tie-break."""
+        kept = self.match_bool_prefix_score_all(
+            query, max_expansions, method, operator,
+            minimum_should_match, pretokenized_query,
+        )
+        ranked = sorted(kept.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return {
+            "query": query,
+            "total_hits": len(kept),
+            "results": [{"doc_id": d, "score": s} for d, s in ranked],
+        }
+
     # ------------------------------------------------------------ boolean
     def boolean_query(self, query: str, stem_tokens: bool = True) -> FrozenSet[int]:
         rpn = to_rpn(preprocess_boolean_query(query, stem_tokens=stem_tokens))
@@ -603,6 +682,33 @@ def multi_match_phrase_prefix_query(field_indexes: Dict[str, OracleIndex],
     ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
     return {
         "query": phrase,
+        "total_hits": len(combined),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }
+
+
+def multi_match_bool_prefix_query(field_indexes: Dict[str, OracleIndex],
+                                  boosts: Dict[str, float], query: str,
+                                  k: int = 10, max_expansions: int = 50,
+                                  method: str = "bm25",
+                                  operator: str = "or",
+                                  minimum_should_match: int | None = None,
+                                  pretokenized_query: bool = False) -> dict:
+    """ES ``multi_match`` ``type: bool_prefix`` oracle: each field runs
+    a ``match_bool_prefix`` (the trailing prefix expands against THAT
+    field's dictionary) × boost, and per doc the field scores SUM — ES
+    documents bool_prefix scoring as most_fields-style."""
+    combined: Dict[int, float] = {}
+    for fname, boost in boosts.items():
+        kept = field_indexes[fname].match_bool_prefix_score_all(
+            query, max_expansions, method, operator,
+            minimum_should_match, pretokenized_query,
+        )
+        for d, s in kept.items():
+            combined[d] = combined.get(d, 0.0) + s * boost
+    ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": query,
         "total_hits": len(combined),
         "results": [{"doc_id": d, "score": s} for d, s in ranked],
     }

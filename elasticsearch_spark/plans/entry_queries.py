@@ -678,6 +678,87 @@ def engine_multi_match_most_fields(spark, sf_dir):
     return _topk(plan, 10)
 
 
+def _multi_match_bool_prefix_sql(full, prefix, boosts=((2.0, 3), (1.0, 0)),
+                                 operator="or", msm=None, max_exp=50,
+                                 k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for multi_match ``type: bool_prefix`` over the
+    derived-title field pair: per field, the full terms score through
+    the usual field-local BM25 CTE, the trailing prefix is a
+    constant-score 1.0 clause over that FIELD's own dictionary
+    continuations (term order, capped), operator/msm filter on the
+    per-field matched-clause count; per-doc the field scores SUM
+    (most_fields-style, the documented ES bool_prefix combine)."""
+    n_terms = len(set(full))
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        if operator == "and":
+            req = (f"nt >= (SELECT count(*) FROM idf{i} WHERE idf <> 0) + 1 "
+                   f"AND (SELECT count(*) FROM dfq{i}) = {n_terms} "
+                   f"AND EXISTS (SELECT 1 FROM expd{i})")
+        elif msm is not None:
+            req = (f"nt >= greatest({int(msm)} - "
+                   f"(SELECT count(*) FROM idf{i} WHERE idf = 0), 0)")
+        else:
+            req = "nt >= 0"
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+tf{i} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok{i}
+          WHERE term IN ({_sql_terms(full)}) GROUP BY term, doc_id),
+dfq{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY term),
+idf{i} AS (SELECT term, ln((c{i}.n + 1)::DOUBLE / (dfq{i}.df + 1)::DOUBLE) AS idf
+           FROM dfq{i}, c{i}),
+expd{i} AS (SELECT DISTINCT term FROM tok{i} WHERE term LIKE '{prefix}%'
+            ORDER BY term LIMIT {int(max_exp)}),
+sc{i} AS (SELECT tf.doc_id,
+                 sum(idf.idf * ((tf.tf * ({k1} + 1)) /
+                     (tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / c{i}.avgdl))))) AS score,
+                 count(*)::BIGINT AS nt
+          FROM tf{i} tf JOIN idf{i} idf ON tf.term = idf.term
+                        JOIN dl{i} dl ON tf.doc_id = dl.doc_id, c{i}
+          WHERE idf.idf <> 0
+          GROUP BY tf.doc_id),
+pd{i} AS (SELECT DISTINCT doc_id FROM tok{i}
+          WHERE term IN (SELECT term FROM expd{i})),
+s{i} AS (SELECT doc_id, {boost} * score AS s FROM (
+           SELECT doc_id, sum(score) AS score, sum(nt)::BIGINT AS nt
+           FROM (SELECT doc_id, score, nt FROM sc{i}
+                 UNION ALL
+                 SELECT doc_id, 1.0 AS score, 1::BIGINT AS nt FROM pd{i})
+           GROUP BY doc_id)
+         WHERE {req})""")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, s FROM s{i}" for i in range(len(boosts))
+    )
+    return f"""WITH {','.join(parts)},
+u AS ({unions}),
+comb AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "engine_multi_match_bool_prefix",
+    _multi_match_bool_prefix_sql(["spark", "table"], "me", msm=2),
+)
+def engine_multi_match_bool_prefix(spark, sf_dir):
+    """ES multi_match ``type: bool_prefix`` (search-as-you-type) over
+    title^2/text: 'spark table me' — per field, scored term clauses +
+    a constant-score prefix clause expanded against THAT field's own
+    dictionary, minimum_should_match=2 per field, field scores SUMMED
+    per doc (the documented most_fields-style bool_prefix combine)."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.multi_match_plan(
+        "spark table me", fields=["title^2", "text"],
+        match_type="bool_prefix", minimum_should_match=2,
+    )
+    return _topk(plan, 10)
+
+
 def _cross_fields_sql(terms, boosts=((2.0, 3), (1.0, 0)), tie_breaker=0.0,
                       operator="or", msm=None, k1=K1, b=B, k=10) -> str:
     """DuckDB oracle for multi_match ``type: cross_fields`` over the
@@ -940,6 +1021,66 @@ def engine_match_msm(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     plan = eng.match_scored_plan(
         " ".join(Q2_TERMS), minimum_should_match=3
+    )
+    return _topk(plan, 10)
+
+
+def _match_bool_prefix_sql(full, prefix, operator="or", msm=None,
+                           max_exp=50, k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for ES ``match_bool_prefix``: the full terms score
+    through the usual BM25 CTE, the trailing prefix is a constant-score
+    1.0 clause over docs containing ANY of the first ``max_exp``
+    dictionary continuations (term order — the engine's expansion cap);
+    clause counts ride the same union+GROUP BY."""
+    n_terms = len(set(full))
+    if operator == "and":
+        req = (f"nt >= (SELECT count(*) FROM idf WHERE idf <> 0) + 1 "
+               f"AND (SELECT count(*) FROM df) = {n_terms} "
+               f"AND EXISTS (SELECT 1 FROM expd)")
+    elif msm is not None:
+        req = (f"nt >= greatest({int(msm)} - "
+               "(SELECT count(*) FROM idf WHERE idf = 0), 0)")
+    else:
+        req = "nt >= 0"
+    expr = (
+        f"idf.idf * ((tf.tf * ({k1} + 1)) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / corpus.avgdl))))"
+    )
+    return f"""WITH {_TOK_CTE},
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({_sql_terms(full)}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((corpus.n + 1)::DOUBLE / (df.df + 1)::DOUBLE) AS idf FROM df, corpus),
+expd AS (SELECT DISTINCT term FROM tok WHERE term LIKE '{prefix}%'
+         ORDER BY term LIMIT {int(max_exp)}),
+scored AS (SELECT tf.doc_id, sum({expr}) AS score, count(*)::BIGINT AS nt
+           FROM tf JOIN idf ON tf.term = idf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id, corpus
+           WHERE idf.idf <> 0
+           GROUP BY tf.doc_id),
+pdocs AS (SELECT DISTINCT doc_id FROM tok
+          WHERE term IN (SELECT term FROM expd)),
+agg AS (SELECT doc_id, sum(score) AS score, sum(nt)::BIGINT AS nt
+        FROM (SELECT doc_id, score, nt FROM scored
+              UNION ALL
+              SELECT doc_id, 1.0 AS score, 1::BIGINT AS nt FROM pdocs)
+        GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM agg
+WHERE {req}
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register("engine_match_bool_prefix",
+          _match_bool_prefix_sql(["hash", "join"], "sp", msm=2))
+def engine_match_bool_prefix(spark, sf_dir):
+    """ES ``match_bool_prefix`` (search-as-you-type): 'hash join sp' —
+    'hash'/'join' as scored term clauses, 'sp' as a constant-score
+    prefix clause over its dictionary continuations, with
+    minimum_should_match=2 over the clause count (one union, one
+    groupBy — the matched-clause count rides the scoring aggregate)."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_bool_prefix_scored_plan(
+        "hash join sp", minimum_should_match=2
     )
     return _topk(plan, 10)
 

@@ -280,10 +280,41 @@ def test_unindexed_query_empty(mf_engine):
 
 def test_unsupported_type_raises(mf_engine):
     with pytest.raises(ValueError):
-        mf_engine.multi_match_plan("machine", BOOSTS, match_type="bool_prefix")
+        mf_engine.multi_match_plan("machine", BOOSTS, match_type="nope")
     with pytest.raises(ValueError):
-        mf_engine.multi_match("machine", fields=BOOSTS,
-                              match_type="bool_prefix")
+        mf_engine.multi_match("machine", fields=BOOSTS, match_type="nope")
+
+
+def test_multi_match_bool_prefix_matches_oracle(mf_engine, oracles):
+    """ES multi_match type=bool_prefix (search-as-you-type): per-field
+    match_bool_prefix (scored full terms + constant-score trailing
+    prefix, expanded against each field's own dictionary) SUMMED across
+    fields (ES documents bool_prefix scoring as most_fields-style)
+    ≡ the oracle, incl. operator=and and minimum_should_match."""
+    from elasticsearch_spark.oracle.engine import (
+        multi_match_bool_prefix_query,
+    )
+
+    cases = [
+        ("machine le", "or", None),
+        ("machine learning st", "or", 2),
+        ("machine le", "and", None),
+        ("le", "or", None),              # pure prefix clause
+        ("nonexistentterm xx", "or", None),
+    ]
+    hit_any = False
+    for q, op, msm in cases:
+        got = mf_engine.multi_match(
+            q, k=1000, fields=["title^2", "text"], match_type="bool_prefix",
+            operator=op, minimum_should_match=msm,
+        )
+        want = multi_match_bool_prefix_query(
+            oracles, BOOSTS, q, k=1000, operator=op,
+            minimum_should_match=msm,
+        )
+        _assert_same(got, want, (q, op, msm))
+        hit_any = hit_any or bool(got["results"])
+    assert hit_any, "bool_prefix suite never hit — fixture drifted"
 
 
 def test_streaming_update_multifield(spark, tmp_index_root, rows, oracles):

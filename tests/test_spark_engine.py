@@ -475,6 +475,52 @@ def test_search_fetch_source(spark, engine, corpus):
     ]
 
 
+# ------------------------------------------ match_bool_prefix (round 5)
+
+BOOL_PREFIX_CASES = [
+    ("visit spark", "or", None),
+    ("visit spark", "and", None),
+    ("mail vi", "or", None),
+    ("sparkhead visit ru", "or", 2),
+    ("vi", "or", None),            # pure prefix query (single term)
+    ("qqqzzz vi", "and", None),    # unindexed MUST term -> empty
+    ("visit qqqq", "or", None),    # prefix expands to nothing
+]
+
+
+@pytest.mark.parametrize("query,operator,msm", BOOL_PREFIX_CASES)
+def test_match_bool_prefix_matches_oracle(spark, index_dir, oracle_index,
+                                          query, operator, msm):
+    """ES match_bool_prefix: scored full-term clauses + constant-score
+    prefix clause — engine ≡ oracle on BOTH serving tiers (doc ids and
+    1e-9 scores), including operator=and and minimum_should_match."""
+    want = oracle_index.match_bool_prefix_query(
+        query, k=10, operator=operator, minimum_should_match=msm
+    )
+    for turbo in (True, False):
+        got = QueryEngine(spark, index_dir, turbo=turbo).match_bool_prefix(
+            query, k=10, operator=operator, minimum_should_match=msm
+        )
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in want["results"]
+        ], (query, operator, msm, turbo)
+        for g, w in zip(got["results"], want["results"]):
+            assert abs(g["score"] - w["score"]) < 1e-9, (query, turbo)
+        assert got["total_hits"] == want["total_hits"], (query, turbo)
+
+
+def test_match_bool_prefix_nonvacuous(engine, oracle_index):
+    """The suite must exercise real hits: the prefix clause alone
+    ('vi') matches docs at constant score 1.0."""
+    res = engine.match_bool_prefix("vi", k=10)
+    assert res["results"], "prefix 'vi' must expand and hit"
+    exp = oracle_index.prefix_expansions("vi", 50)
+    assert exp, "oracle must expand 'vi' too"
+    # every hit scores exactly 1.0 (constant-score prefix clause only)
+    for r in res["results"]:
+        assert abs(r["score"] - 1.0) < 1e-12
+
+
 def test_fetch_plan_matches_fetch_source(spark, index_dir, corpus):
     """The plan-shaped fetch join ≡ the driver point-read fetch."""
     eng = QueryEngine(spark, index_dir)
