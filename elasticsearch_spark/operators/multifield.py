@@ -543,6 +543,264 @@ class MultiMatchEngine:
             ],
         }
 
+    # ------------------------------------------------------ combined_fields
+    def combined_fields_plan(self, query: str, fields: FieldsArg = None,
+                             method: str = "bm25", operator: str = "or",
+                             minimum_should_match=None
+                             ) -> Optional[DataFrame]:
+        """ES ``combined_fields`` query (ES 7.13+, Lucene
+        CombinedFieldQuery — the principled BM25F successor to
+        cross_fields) as a (doc_id, score) plan.  The queried fields are
+        scored as ONE synthetic field with MERGED statistics, per the
+        Robertson/Zaragoza/Taylor simple-BM25F construction the Lucene
+        query implements:
+
+        * combined tf(t, d)   = Σ_f weight_f × tf_f(t, d)
+        * combined norm(d)    = Σ_f weight_f × doc_len_f(d)  (summed
+          over EVERY queried field, matched or not — Lucene's
+          MultiNormsLeafSimScorer)
+        * combined avgdl      = Σ_f weight_f × avgdl_f (fields share one
+          doc-id space, so the per-doc sum averages to this)
+        * merged df(t)        = MAX over fields of live df(t); idf from
+          the shared doc count (the same pseudo-df merge the
+          BlendedTermQuery/cross_fields path uses)
+        * score(d) = Σ_t mult(t) × idf(t) × sat(tf_c, norm_c) with the
+          single BM25 saturation — ONE term clause regardless of field
+          count, unlike cross_fields' per-field dis_max.
+
+        ``operator``/``minimum_should_match`` count distinct matched
+        terms (matched = present in ANY queried field), the
+        cross_fields spec.  ES restricts weights to ≥ 1; any positive
+        weight works here.
+
+        Plan shape (100-TB): per field the pruned postings scan keeps
+        (doc_id, term, weighted tf) rows; ONE groupBy(doc_id, term)
+        merges tf across fields, then a join against the combined-norm
+        view (union of per-field live docs → groupBy(doc_id)) and the
+        final groupBy(doc_id) — which reuses the (doc_id, term)
+        exchange's partitioning.  The norm view is corpus-sized but
+        two-column; at lake scale it is query-independent for fixed
+        weights and would be materialized once next to the index (the
+        per-field docs tables are bucketed by doc_id already)."""
+        from collections import Counter
+
+        boosts = parse_fields(fields, default=self.fields)
+        terms, bdf, blended = self._cross_fields_stats(query, boosts)
+        if not terms:
+            return None
+        required = self._cross_fields_required(
+            terms, bdf, blended, operator, minimum_should_match
+        )
+        any_eng = next(iter(self.engines.values()))
+        if required is None:
+            return any_eng._empty_scored_plan()
+        live = [t for t in terms if blended[t] != 0.0]
+        if not live:
+            return None
+        counts = Counter(live)
+        uniq = sorted(counts)
+        w_items: list = []
+        for t in uniq:
+            w_items += [F.lit(t), F.lit(float(blended[t]) * float(counts[t]))]
+        w_col = F.create_map(*w_items)[F.col("term")]
+        tf_parts, len_parts = [], []
+        avgdl_c = 0.0
+        for fname, boost in boosts.items():
+            eng = self.engines[fname]
+            tf_parts.append(
+                eng._pruned_postings(uniq)
+                .filter(F.col("doc_len") > 0)
+                .select(
+                    "doc_id", "term",
+                    (F.col("tf") * F.lit(float(boost))).alias("wtf"),
+                )
+            )
+            len_parts.append(
+                eng._docs.select(
+                    "doc_id",
+                    (F.col("doc_len") * F.lit(float(boost))).alias("wdl"),
+                )
+            )
+            avgdl_c += float(boost) * float(eng.avg_doc_len)
+        tfu = tf_parts[0]
+        for p in tf_parts[1:]:
+            tfu = tfu.unionByName(p)
+        tfc = tfu.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfc"))
+        dlu = len_parts[0]
+        for p in len_parts[1:]:
+            dlu = dlu.unionByName(p)
+        dlc = dlu.groupBy("doc_id").agg(F.sum("wdl").alias("dlc"))
+        k1, b = any_eng.k1, any_eng.b
+        joined = tfc.join(dlc, "doc_id")
+        if method == "bm25":
+            sat = (F.col("tfc") * (k1 + 1)) / (
+                F.col("tfc")
+                + k1 * (1 - b + b * (F.col("dlc") / F.lit(avgdl_c)))
+            )
+        elif method == "tfidf":
+            sat = F.col("tfc") / F.col("dlc")
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        return (
+            joined.select("doc_id", (w_col * sat).alias("score"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"),
+                 F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") >= F.lit(int(required)))
+            .select("doc_id", "score")
+        )
+
+    def _turbo_combined_fields(self, query: str, k: int,
+                               boosts: Dict[str, float], method: str,
+                               operator: str, minimum_should_match,
+                               want_total: bool) -> Optional[dict]:
+        """Driver-side twin of :meth:`combined_fields_plan` + top-k
+        (result-identical): per-field postings via the shared point
+        read, per-field norms via ``QueryEngine._turbo_doc_lens``
+        (candidate docs need EVERY field's length, hit or not)."""
+        import numpy as np
+
+        terms, bdf, blended = self._cross_fields_stats(query, boosts)
+        empty = {
+            "query": query,
+            "total_hits": 0 if want_total else None,
+            "results": [],
+        }
+        if not terms:
+            return empty
+        required = self._cross_fields_required(
+            terms, bdf, blended, operator, minimum_should_match
+        )
+        if required is None:
+            return empty
+        from collections import Counter
+
+        live = [t for t in terms if blended[t] != 0.0]
+        if not live:
+            return empty
+        counts = Counter(live)
+        uniq = sorted(counts)
+        code_parts, doc_parts, wtf_parts = [], [], []
+        avgdl_c = 0.0
+        field_lens = []
+        for fname, boost in boosts.items():
+            eng = self.engines[fname]
+            if not eng.turbo:
+                return None
+            eng.term_idf(uniq)  # populate the live df cache
+            if (
+                sum(eng._df_cache.get(t, 0) for t in uniq)
+                > eng.TURBO_MAX_POSTINGS
+            ):
+                return None
+            try:
+                for i, t in enumerate(uniq):
+                    _ta, d, tf, dl = eng._postings_point_read([t])
+                    ok = dl > 0
+                    d, tf = d[ok], tf[ok]
+                    code_parts.append(np.full(d.size, i, dtype=np.int64))
+                    doc_parts.append(d)
+                    wtf_parts.append(tf.astype(np.float64) * float(boost))
+                field_lens.append((float(boost), eng._turbo_doc_lens()))
+            except Exception:
+                return None
+            avgdl_c += float(boost) * float(eng.avg_doc_len)
+        if not doc_parts or sum(d.size for d in doc_parts) == 0:
+            return empty
+        codes = np.concatenate(code_parts)
+        doc = np.concatenate(doc_parts)
+        wtf = np.concatenate(wtf_parts)
+        dmax = int(doc.max()) + 1
+        key = codes * dmax + doc
+        ukey, inv = np.unique(key, return_inverse=True)
+        tfc = np.bincount(inv, weights=wtf)
+        kcode = ukey // dmax
+        kdoc = ukey % dmax
+        docs_u, inv2 = np.unique(kdoc, return_inverse=True)
+        # combined norm per candidate doc: every field's length counts
+        dlc = np.zeros(docs_u.size, dtype=np.float64)
+        for boost, (ids, lens) in field_lens:
+            pos = np.searchsorted(ids, docs_u)
+            pos_c = np.minimum(pos, max(ids.size - 1, 0))
+            hit = (ids.size > 0) & (ids[pos_c] == docs_u)
+            dlc += boost * np.where(hit, lens[pos_c], 0)
+        warr = np.array(
+            [float(blended[t]) * float(counts[t]) for t in uniq]
+        )
+        any_eng = next(iter(self.engines.values()))
+        k1, b = any_eng.k1, any_eng.b
+        dlc_per_key = dlc[inv2]
+        if method == "bm25":
+            sat = (tfc * (k1 + 1)) / (
+                tfc + k1 * (1 - b + b * (dlc_per_key / avgdl_c))
+            )
+        elif method == "tfidf":
+            sat = tfc / dlc_per_key
+        else:
+            raise ValueError(f"unknown scoring method {method!r}")
+        contrib = warr[kcode] * sat
+        scores = np.bincount(inv2, weights=contrib)
+        nt = np.bincount(inv2)
+        keep = nt >= required
+        docs_u, scores = docs_u[keep], scores[keep]
+        order = np.lexsort((docs_u, -scores))[:k]
+        return {
+            "query": query,
+            "total_hits": int(docs_u.size) if want_total else None,
+            "results": [
+                {"doc_id": int(docs_u[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def combined_fields(self, query: str, k: int = 10,
+                        fields: FieldsArg = None, method: str = "bm25",
+                        operator: str = "or", minimum_should_match=None,
+                        source: Optional[DataFrame] = None,
+                        source_fields: Sequence[str] = (),
+                        with_total_hits: bool = True) -> dict:
+        """ES ``combined_fields`` in the reference result shape — the
+        term-centric BM25F query with MERGED field statistics (one
+        synthetic field), two serving tiers like every query path, plus
+        the optional fetch phase."""
+        boosts = parse_fields(fields, default=self.fields)
+        res = self._turbo_combined_fields(
+            query, k, boosts, method, operator, minimum_should_match,
+            with_total_hits,
+        )
+        if res is not None:
+            return self._fetch(res, source, source_fields)
+        plan = self.combined_fields_plan(
+            query, boosts, method, operator, minimum_should_match
+        )
+        if plan is None:
+            return {
+                "query": query,
+                "total_hits": 0 if with_total_hits else None,
+                "results": [],
+            }
+        any_eng = next(iter(self.engines.values()))
+        if with_total_hits:
+            obs = Observation()
+            plan = plan.observe(obs, F.count(F.lit(1)).alias("n"))
+        with any_eng._interactive():
+            top = (
+                plan.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"]) if with_total_hits else None
+        return self._fetch(
+            {
+                "query": query,
+                "total_hits": total,
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]} for r in top
+                ],
+            },
+            source, source_fields,
+        )
+
     # --------------------------------------------------------- turbo tier
     def _turbo_field_scores(self, eng, query: str, method: str):
         """Full per-doc score map for one field on the driver —

@@ -109,6 +109,7 @@ class QueryEngine:
         self._term_postings_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._term_cache_rows = 0
         self._universe_cache = None  # live doc-id array (boolean NOT)
+        self._doc_len_cache = None   # live (doc_id, doc_len) arrays
         if hasattr(self, "_tfidf"):
             del self._tfidf  # lazy re-read after index update
         if hasattr(self, "_blocks_df"):
@@ -1826,6 +1827,48 @@ class QueryEngine:
             )
         self._universe_cache = universe
         return universe
+
+    def _turbo_doc_lens(self):
+        """Sorted live ``(doc_id, doc_len)`` arrays — the driver-side
+        norms table (Lucene keeps exactly this per-field array in RAM).
+        Read once per index generation via pyarrow across base + delta
+        docs tables, tombstone-filtered, cached with the other turbo
+        caches (recreated in ``_load``; ~16 B/doc driver RAM).  Used by
+        tiers that need a doc's length WITHOUT a posting hit in this
+        field (``combined_fields``: the combined norm sums every queried
+        field's length even where the term matched elsewhere)."""
+        self._refresh_if_stale()
+        if getattr(self, "_doc_len_cache", None) is not None:
+            return self._doc_len_cache
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        from .reader import delta_segments
+
+        paths = [os.path.join(self.index_dir, "docs")] + [
+            os.path.join(self.index_dir, "segments", s, "docs")
+            for s in delta_segments(self._manifest)
+        ]
+        ids_parts, len_parts = [], []
+        for p in paths:
+            tbl = pads.dataset(p).to_table(columns=["doc_id", "doc_len"])
+            ids_parts.append(
+                tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            )
+            len_parts.append(
+                tbl.column("doc_len").to_numpy(zero_copy_only=False)
+            )
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        lens = np.concatenate(len_parts).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, lens = ids[order], lens[order]
+        if self._tombstones:
+            keep = ~np.isin(
+                ids, np.asarray(sorted(self._tombstones), dtype=np.int64)
+            )
+            ids, lens = ids[keep], lens[keep]
+        self._doc_len_cache = (ids, lens)
+        return self._doc_len_cache
 
     def boolean_topk(self, query: str, k: int = 10) -> dict:
         """Bounded boolean query: ONE job computes the exact hit count

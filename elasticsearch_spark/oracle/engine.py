@@ -714,6 +714,104 @@ def multi_match_bool_prefix_query(field_indexes: Dict[str, OracleIndex],
     }
 
 
+def combined_fields_score_all(field_indexes: Dict[str, OracleIndex],
+                              boosts: Dict[str, float], query: str,
+                              method: str = "bm25", operator: str = "or",
+                              minimum_should_match: int | None = None,
+                              pretokenized_query: bool = False
+                              ) -> Dict[int, float]:
+    """ES ``combined_fields`` oracle (Lucene CombinedFieldQuery — the
+    simple-BM25F construction): the queried fields score as ONE
+    synthetic field with MERGED statistics.
+
+    Spec (shared with the engine's ``combined_fields_plan``):
+
+    * combined tf(t, d) = Σ_f weight_f × tf_f(t, d) over fields where
+      the doc is live (doc_len_f > 0 — the per-field scoring guard);
+    * combined norm(d)  = Σ_f weight_f × doc_len_f(d), EVERY queried
+      field's length (matched or not — MultiNormsLeafSimScorer);
+    * combined avgdl    = Σ_f weight_f × avgdl_f (shared doc space);
+    * merged df(t) = MAX over fields of df(t), idf from the shared doc
+      count — the same pseudo-df merge as cross_fields;
+    * score(d) = Σ_t mult(t) × idf(t) × sat(tf_c, norm_c): ONE BM25
+      saturation per term, not a per-field dis_max.
+
+    ``operator``/``minimum_should_match`` count distinct matched terms
+    (matched in ANY field), zero-idf terms auto-match — the
+    cross_fields rule."""
+    terms = query.split() if pretokenized_query else preprocess_query(query)
+    if not terms:
+        return {}
+    distinct = sorted(set(terms))
+    n = max(idx.doc_count for idx in field_indexes.values())
+    bdf = {t: max(field_indexes[f].df(t) for f in boosts) for t in distinct}
+    if operator == "and" and any(bdf[t] == 0 for t in distinct):
+        return {}
+    blended = {t: scoring.idf(n, bdf[t]) for t in distinct}
+    live = [t for t in terms if blended[t] != 0.0]
+    if not live:
+        return {}
+    n_zero_idf = sum(1 for t in distinct if bdf[t] > 0 and blended[t] == 0.0)
+    if operator == "and":
+        required = len(set(live))
+    else:
+        required = (0 if minimum_should_match is None
+                    else int(minimum_should_match) - n_zero_idf)
+    required = max(required, 0)
+    avgdl_c = sum(float(boost) * field_indexes[f].avg_doc_len
+                  for f, boost in boosts.items())
+    k1 = next(iter(field_indexes.values())).k1
+    b = next(iter(field_indexes.values())).b
+    counts = Counter(live)
+    # combined tf per (term, doc)
+    tfc: Dict[tuple, float] = {}
+    for t in counts:
+        for fname, boost in boosts.items():
+            idx = field_indexes[fname]
+            for doc_id, tf in idx.postings.get(t, ()):
+                if idx.doc_len.get(doc_id, 0) <= 0:
+                    continue
+                tfc[(t, doc_id)] = tfc.get((t, doc_id), 0.0) + boost * tf
+    # combined norm per candidate doc (every field's length counts)
+    cand = {d for (_t, d) in tfc}
+    dlc = {
+        d: sum(float(boost) * field_indexes[f].doc_len.get(d, 0)
+               for f, boost in boosts.items())
+        for d in cand
+    }
+    scores: Dict[int, float] = {}
+    matched: Dict[int, int] = {}
+    for (t, d), tf_c in tfc.items():
+        if method == "bm25":
+            sat = (tf_c * (k1 + 1)) / (
+                tf_c + k1 * (1 - b + b * (dlc[d] / avgdl_c))
+            )
+        else:
+            sat = tf_c / dlc[d]
+        scores[d] = scores.get(d, 0.0) + counts[t] * blended[t] * sat
+        matched[d] = matched.get(d, 0) + 1
+    return {d: s for d, s in scores.items() if matched.get(d, 0) >= required}
+
+
+def combined_fields_query(field_indexes: Dict[str, OracleIndex],
+                          boosts: Dict[str, float], query: str, k: int = 10,
+                          method: str = "bm25", operator: str = "or",
+                          minimum_should_match: int | None = None,
+                          pretokenized_query: bool = False) -> dict:
+    """Reference result shape for ES ``combined_fields``, deterministic
+    (score desc, doc_id asc) tie-break."""
+    doc_scores = combined_fields_score_all(
+        field_indexes, boosts, query, method, operator,
+        minimum_should_match, pretokenized_query,
+    )
+    ranked = sorted(doc_scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": query,
+        "total_hits": len(doc_scores),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }
+
+
 def cross_fields_score_all(field_indexes: Dict[str, OracleIndex],
                            boosts: Dict[str, float], query: str,
                            tie_breaker: float = 0.0, method: str = "bm25",

@@ -854,6 +854,103 @@ def engine_multi_match_cross_fields_and(spark, sf_dir):
     return _topk(plan, 10)
 
 
+def _combined_fields_sql(terms, boosts=((2.0, 3), (1.0, 0)),
+                         operator="or", msm=None, k1=K1, b=B, k=10) -> str:
+    """DuckDB oracle for the ES ``combined_fields`` query over the
+    derived-title field pair — MERGED field statistics (simple BM25F,
+    the Lucene CombinedFieldQuery): combined tf = Σ weight×tf over
+    fields, combined norm = Σ weight×doc_len over EVERY queried field,
+    combined avgdl = Σ weight×avgdl, merged df = MAX over fields, ONE
+    BM25 saturation per term; operator/msm on the distinct
+    matched-term count."""
+    parts = []
+    for i, (boost, n_tok) in enumerate(boosts):
+        toks = (f"string_split(text, ' ')[1:{n_tok}]" if n_tok
+                else "string_split(text, ' ')")
+        parts.append(f"""
+tok{i} AS (SELECT doc_id, unnest({toks}) AS term
+           FROM documents WHERE lang = 'en'),
+dl{i} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{i} GROUP BY doc_id),
+c{i} AS (SELECT count(*)::BIGINT AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl{i}),
+tf{i} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok{i}
+          WHERE term IN ({_sql_terms(terms)}) GROUP BY term, doc_id),
+dfq{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY term)""")
+    dfu = " UNION ALL ".join(
+        f"SELECT term, df FROM dfq{i}" for i in range(len(boosts))
+    )
+    tfu = " UNION ALL ".join(
+        f"SELECT doc_id, term, {boost} * tf AS wtf FROM tf{i}"
+        for i, (boost, _n) in enumerate(boosts)
+    )
+    dlu = " UNION ALL ".join(
+        f"SELECT doc_id, {boost} * doc_len AS wdl FROM dl{i}"
+        for i, (boost, _n) in enumerate(boosts)
+    )
+    avgc = " + ".join(
+        f"{boost} * c{i}.avgdl" for i, (boost, _n) in enumerate(boosts)
+    )
+    cjoin = ", ".join(f"c{i}" for i in range(len(boosts)))
+    if operator == "and":
+        req = ("nt >= (SELECT count(*) FROM bidf WHERE idf <> 0) "
+               f"AND (SELECT count(*) FROM bdf) = {len(set(terms))}")
+    elif msm is not None:
+        req = (f"nt >= greatest({int(msm)} - "
+               "(SELECT count(*) FROM bidf WHERE idf = 0), 0)")
+    else:
+        req = "nt >= 0"
+    return f"""WITH {','.join(parts)},
+bdf AS (SELECT term, max(df)::BIGINT AS df FROM ({dfu}) GROUP BY term),
+bidf AS (SELECT term, ln((c0.n + 1)::DOUBLE / (bdf.df + 1)::DOUBLE) AS idf
+         FROM bdf, c0),
+avgc AS (SELECT {avgc} AS avgdl FROM {cjoin}),
+tfc AS (SELECT doc_id, term, sum(wtf) AS tfc FROM ({tfu})
+        GROUP BY doc_id, term),
+dlc AS (SELECT doc_id, sum(wdl) AS dlc FROM ({dlu}) GROUP BY doc_id),
+sc AS (SELECT tfc.doc_id,
+              bidf.idf * ((tfc.tfc * ({k1} + 1)) /
+                  (tfc.tfc + {k1} * (1 - {b} + {b} * (dlc.dlc / avgc.avgdl)))) AS s
+       FROM tfc JOIN bidf ON tfc.term = bidf.term
+                JOIN dlc ON tfc.doc_id = dlc.doc_id, avgc
+       WHERE bidf.idf <> 0),
+comb AS (SELECT doc_id, sum(s) AS score, count(*)::BIGINT AS nt
+         FROM sc GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+WHERE {req}
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "engine_combined_fields",
+    _combined_fields_sql(MULTI_MATCH_TERMS),
+)
+def engine_combined_fields(spark, sf_dir):
+    """ES ``combined_fields`` (7.13+, Lucene CombinedFieldQuery —
+    principled BM25F) over title^2/text: the fields score as ONE
+    synthetic field with merged statistics (combined tf/norm/avgdl,
+    max-df merged idf), one BM25 saturation per term — unlike
+    cross_fields' per-field dis_max."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.combined_fields_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_combined_fields_and",
+    _combined_fields_sql(MULTI_MATCH_TERMS, operator="and"),
+)
+def engine_combined_fields_and(spark, sf_dir):
+    """``combined_fields`` with ``operator=and``: every distinct query
+    term must appear in SOME queried field."""
+    eng = _mf_engine(spark, sf_dir)
+    plan = eng.combined_fields_plan(
+        " ".join(MULTI_MATCH_TERMS), fields=["title^2", "text"],
+        operator="and",
+    )
+    return _topk(plan, 10)
+
+
 def _mm_phrase_prefix_sql(t0, prefix, boosts=((2.0, 3), (1.0, 0)),
                           tie_breaker=0.0, max_exp=50,
                           k1=K1, b=B, k=10) -> str:

@@ -302,8 +302,11 @@ def test_warm_turbo_caches_invalidate_on_update(spark, tmp_index_root):
         "ranked": warm_q.ranked(query, k=10),
         "not": warm_q.boolean_topk(not_query, k=10),  # warms _universe_cache
         "wand": warm_w.topk(query, k=10),
+        # warms _doc_len_cache (the combined_fields norms array)
+        "lens": warm_q._turbo_doc_lens()[0].tolist(),
     }
     assert warm_q._term_postings_cache and warm_w._block_row_cache
+    assert warm_q._doc_len_cache is not None
 
     rm = [
         r["url"]
@@ -318,7 +321,9 @@ def test_warm_turbo_caches_invalidate_on_update(spark, tmp_index_root):
         "ranked": warm_q.ranked(query, k=10),
         "not": warm_q.boolean_topk(not_query, k=10),
         "wand": warm_w.topk(query, k=10),
+        "lens": warm_q._turbo_doc_lens()[0].tolist(),
     }
+    assert after["lens"] == fresh_q._turbo_doc_lens()[0].tolist()
     assert after["ranked"] == fresh_q.ranked(query, k=10)
     assert after["not"] == fresh_q.boolean_topk(not_query, k=10)
     assert after["wand"] == fresh_w.topk(query, k=10)

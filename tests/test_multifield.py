@@ -317,6 +317,54 @@ def test_multi_match_bool_prefix_matches_oracle(mf_engine, oracles):
     assert hit_any, "bool_prefix suite never hit — fixture drifted"
 
 
+def test_combined_fields_matches_oracle(spark, mf_dir, mf_engine, oracles):
+    """ES ``combined_fields`` (Lucene CombinedFieldQuery — merged-stats
+    BM25F: combined tf/norm/avgdl, max-df idf, ONE saturation per term)
+    ≡ the oracle on BOTH serving tiers, incl. operator=and and
+    minimum_should_match."""
+    from elasticsearch_spark.oracle.engine import combined_fields_query
+
+    plan_eng = MultiMatchEngine(spark, mf_dir, turbo=False)
+    cases = [
+        ("machine learning", "or", None),
+        ("running studies dying", "or", 2),
+        ("machine learning", "and", None),
+        ("nonexistentterm machine", "and", None),   # unmatchable MUST
+        ("nonexistentterm", "or", None),
+    ]
+    hit_any = False
+    for q, op, msm in cases:
+        want = combined_fields_query(
+            oracles, BOOSTS, q, k=1000, operator=op,
+            minimum_should_match=msm,
+        )
+        for eng in (mf_engine, plan_eng):
+            got = eng.combined_fields(
+                q, k=1000, fields=["title^2", "text"], operator=op,
+                minimum_should_match=msm,
+            )
+            _assert_same(got, want, (q, op, msm, eng is mf_engine))
+        hit_any = hit_any or bool(want["results"])
+    assert hit_any, "combined_fields suite never hit — fixture drifted"
+
+
+def test_combined_fields_differs_from_cross_fields(mf_engine, oracles):
+    """combined_fields is a DIFFERENT scoring family than cross_fields
+    (one merged saturation vs per-field dis_max): on a query hitting
+    both fields with boost 2 the two must disagree on at least one
+    score — guards against one being silently implemented as the
+    other."""
+    q = "machine learning"
+    cf = mf_engine.combined_fields(q, k=10, fields=["title^2", "text"])
+    xf = mf_engine.multi_match(q, k=10, fields=["title^2", "text"],
+                               match_type="cross_fields")
+    assert cf["results"] and xf["results"]
+    cf_scores = {r["doc_id"]: r["score"] for r in cf["results"]}
+    xf_scores = {r["doc_id"]: r["score"] for r in xf["results"]}
+    common = set(cf_scores) & set(xf_scores)
+    assert any(abs(cf_scores[d] - xf_scores[d]) > 1e-9 for d in common)
+
+
 def test_streaming_update_multifield(spark, tmp_index_root, rows, oracles):
     """Continuous multi-field ingestion: base build on the first 100
     docs, the last 50 streamed in as micro-batch delta segments (one
