@@ -130,6 +130,84 @@ def movable_starts(slot_pos, slop: int):
     return np.asarray(out, dtype=np.int64)
 
 
+def _match_with_required(feas, m) -> bool:
+    """True iff slots (each with a feasible position list ``feas[i]``)
+    admit an assignment to DISTINCT positions that USES position ``m``.
+    Tries each slot containing ``m`` as its owner, then completes a
+    perfect matching of the remaining slots over the remaining
+    positions (Kuhn's augmenting paths — k is query-term count, the
+    windows are slop-sized, so this is tiny)."""
+    k = len(feas)
+    for owner in range(k):
+        if m not in feas[owner]:
+            continue
+        matchp = {m: owner}  # position -> slot
+
+        def try_slot(s, visited):
+            for p in feas[s]:
+                if p == m or p in visited:
+                    continue
+                visited.add(p)
+                if p not in matchp or try_slot(matchp[p], visited):
+                    matchp[p] = s
+                    return True
+            return False
+
+        ok = True
+        for s in range(k):
+            if s == owner:
+                continue
+            if not try_slot(s, set()):
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def unordered_starts(slot_pos, slop: int):
+    """Match-start positions of UNORDERED span-near matches within one
+    doc (Lucene ``SpanNearQuery`` with ``inOrder=false`` over term
+    clauses): positions ``q_i``, one per slot, all DISTINCT, whose span
+    satisfies ``max(q) − min(q) ≤ (k−1) + slop`` (Lucene's
+    matchWidth − k ≤ slop with unit-width term spans).  A start is the
+    ``min(q)`` of some valid assignment; every valid assignment's
+    positions sit in the window ``[m, m+(k−1)+slop]``, so a candidate
+    ``m`` matches iff the slots' window-restricted position sets admit
+    a distinct assignment that uses ``m`` (all positions ≥ m ⇒ the
+    minimum IS m).  Distinctness needs real matching when the query
+    repeats a term (both slots draw from one position list) —
+    :func:`_match_with_required`; for all-distinct terms any two slots'
+    lists are disjoint (one token per position) and the matching
+    trivially succeeds."""
+    import numpy as np
+
+    arrays = [np.asarray(a, dtype=np.int64) for a in slot_pos]
+    k = len(arrays)
+    if any(a.size == 0 for a in arrays):
+        return np.empty(0, dtype=np.int64)
+    if k == 1:
+        return arrays[0]
+    w = k - 1 + slop
+    cand = np.unique(np.concatenate(arrays))
+    out = []
+    for m in cand.tolist():
+        feas = []
+        for a in arrays:
+            lo = np.searchsorted(a, m, side="left")
+            hi = np.searchsorted(a, m + w, side="right")
+            f = a[lo:hi].tolist()
+            if not f:
+                feas = None
+                break
+            feas.append(f)
+        if feas is None:
+            continue
+        if _match_with_required(feas, m):
+            out.append(m)
+    return np.asarray(out, dtype=np.int64)
+
+
 def _starts_fn(slop: int, slop_mode: str):
     """Resolve the per-doc sloppy-match kernel shared by the Spark
     tiers: ``ordered`` = :func:`sloppy_starts` (in-order, the engine's
@@ -139,6 +217,8 @@ def _starts_fn(slop: int, slop_mode: str):
         return sloppy_starts
     if slop_mode == "moves":
         return movable_starts
+    if slop_mode == "unordered":
+        return unordered_starts
     raise ValueError(f"unknown slop_mode {slop_mode!r}")
 
 
@@ -184,6 +264,9 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
     uniq = sorted({t for s in slots for t in s})
     tomb_set = frozenset(int(t) for t in tombstones) if tombstones else frozenset()
     starts_fn = _starts_fn(slop, slop_mode)
+    # unordered (span_near inOrder=false) differs from adjacency even at
+    # slop=0, so it always routes through its starts kernel
+    sloppy = bool(slop) or slop_mode == "unordered"
 
     def kernel(pdf):
         import numpy as np
@@ -229,7 +312,7 @@ def phrase_slots_kernel(blocks: DataFrame, slots: Sequence[Sequence[str]],
             cand &= m.keys()
         out = []
         for doc in sorted(cand):
-            if slop:
+            if sloppy:
                 p = starts_fn([m[doc] for m in slot_maps], slop)
             else:
                 p = slot_maps[0][doc]

@@ -1493,8 +1493,9 @@ class QueryEngine:
         from .phrase import _starts_fn
 
         starts_fn = _starts_fn(slop, slop_mode)
+        sloppy = bool(slop) or slop_mode == "unordered"
         for doc in cand:
-            if slop:
+            if sloppy:
                 p = starts_fn([m[doc] for m in slot_maps], slop)
             else:
                 p = slot_maps[0][doc]
@@ -1603,6 +1604,87 @@ class QueryEngine:
         if not exp:
             return None
         return [[t] for t in terms[:-1]] + [sorted(exp)]
+
+    # -------------------------------------------------- span_near (Lucene)
+    def span_near_plan(self, terms: Sequence[str], slop: int = 0,
+                       in_order: bool = False) -> DataFrame:
+        """Lucene/ES ``span_near`` over ``span_term`` clauses as a
+        ``(doc_id, n_occurrences, start_positions)`` plan.  ``terms``
+        are INDEX terms, used verbatim (ES ``span_term`` is a term-level
+        query — no analysis), one clause per list element.
+
+        * ``in_order=True``: positions strictly increase in clause
+          order with total gap ≤ slop — exactly the ordered
+          sloppy-phrase spec (:func:`~.phrase.sloppy_starts`; a phrase
+          IS an in-order span_near of its terms), so it reuses that
+          kernel verbatim.
+        * ``in_order=False`` (the Lucene default): one DISTINCT
+          position per clause, any order, span ≤ (k−1)+slop
+          (:func:`~.phrase.unordered_starts`) — this differs from
+          adjacency even at slop=0, the genuinely new surface.
+
+        Same doc-range kernel shape as every positional query: prune
+        the clauses' block runs, ONE bounded shuffle, per-range numpy
+        matching; no cross-range state (a match spans one doc)."""
+        self._refresh_if_stale()
+        if not self.stats["config"].get("positional"):
+            raise ValueError("index was not built with positional=True")
+        terms = [str(t) for t in terms]
+        if not terms:
+            return self._empty_phrase_plan()
+        blocks = self._blocks()
+        if blocks is None:
+            raise ValueError("span_near requires the positional block layout")
+        from .phrase import phrase_match_kernel
+
+        mode = "ordered" if in_order else "unordered"
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in set(terms)})
+        pruned = blocks.filter(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(sorted(set(terms)))
+        ).select("term", "range_id", "doc_blob", "tf_blob", "len_blob",
+                 "pos_blob")
+        return phrase_match_kernel(
+            pruned, terms, self.stats["config"].get("codec", "vbyte"),
+            self._tombstones, slop, mode,
+        )
+
+    def span_near(self, terms: Sequence[str], k: int = 10, slop: int = 0,
+                  in_order: bool = False) -> dict:
+        """``span_near`` in the reference result shape, ranked by
+        occurrence count then doc_id (span queries are match-shaped
+        like :meth:`phrase`; n_occurrences counts distinct match START
+        positions).  Small slices serve from the driver turbo kernel
+        (shared with phrase), the plan otherwise."""
+        self._refresh_if_stale()
+        terms = [str(t) for t in terms]
+        query_label = " ".join(terms)
+        if not terms:
+            return {"query": query_label, "total_hits": 0, "results": []}
+        mode = "ordered" if in_order else "unordered"
+        if self.stats["config"].get("positional"):
+            res = self._turbo_phrase([[t] for t in terms], k, slop, mode)
+            if res is not None:
+                res["query"] = query_label
+                return res
+        plan = self.span_near_plan(terms, slop, in_order)
+        obs = Observation()
+        with self._interactive():
+            top = (
+                plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            total = int(obs.get["n"])
+        return {
+            "query": query_label,
+            "total_hits": total,
+            "results": [
+                {"doc_id": r["doc_id"], "score": float(r["n_occurrences"])}
+                for r in top
+            ],
+        }
 
     def match_phrase_prefix_plan(self, phrase: str,
                                  max_expansions: int = 50) -> DataFrame:

@@ -274,6 +274,47 @@ class OracleIndex:
                 out[doc] = sorted(starts)
         return out
 
+    def span_near_query(self, terms, slop: int = 0,
+                        in_order: bool = False) -> Dict[int, List[int]]:
+        """doc_id -> match-start positions for Lucene/ES ``span_near``
+        over ``span_term`` clauses (terms used VERBATIM — span_term is
+        term-level, no analysis) by brute-force tuple enumeration —
+        deliberately independent of the engine's matching kernels, so
+        agreement exercises their correctness arguments.
+
+        Spec: positions q_i, one per clause, all DISTINCT;
+        ``in_order=True`` additionally requires strict clause-order
+        increase (start = q_0, the ordered sloppy-phrase form);
+        ``in_order=False`` allows any order (start = min(q)); span
+        ``max(q) − min(q) ≤ (k−1) + slop`` either way."""
+        from itertools import product
+
+        terms = [str(t) for t in terms]
+        if not terms:
+            return {}
+        k = len(terms)
+        span = k - 1 + slop
+        docs = None
+        for t in terms:
+            ds = set(self.positions.get(t, {}))
+            docs = ds if docs is None else docs & ds
+        out: Dict[int, List[int]] = {}
+        for doc in sorted(docs or ()):
+            plists = [self.positions[t][doc] for t in terms]
+            starts = set()
+            for combo in product(*plists):
+                if len(set(combo)) != k:
+                    continue
+                if in_order and any(
+                    combo[i] >= combo[i + 1] for i in range(k - 1)
+                ):
+                    continue
+                if max(combo) - min(combo) <= span:
+                    starts.add(combo[0] if in_order else min(combo))
+            if starts:
+                out[doc] = sorted(starts)
+        return out
+
     def phrase_bm25_scores(self, phrase: str, slop: int = 0,
                            slop_mode: str = "ordered",
                            method: str = "bm25",

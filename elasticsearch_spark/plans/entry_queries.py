@@ -1388,6 +1388,62 @@ def phrase_slop_bigram(spark, sf_dir):
     )
 
 
+PHRASE_SLOP_3 = ["table", "hash", "window"]
+
+
+def _span_near_sql(terms, slop: int) -> str:
+    """UNORDERED ``span_near`` oracle (Lucene SpanNearQuery
+    inOrder=false over span_term clauses — operators/phrase.py
+    ``unordered_starts``): an assignment of DISTINCT positions, one per
+    clause, any order, with span ≤ (k−1)+slop; a match start is the
+    assignment's MIN position, n_occ counts distinct starts.
+    Brute-force join over the term-filtered positions."""
+    k = len(terms)
+    joins = " ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, k)
+    )
+    conds = [f"p{i}.term = '{t}'" for i, t in enumerate(terms)]
+    conds += [
+        f"p{i}.i <> p{j}.i" for i in range(k) for j in range(i + 1, k)
+    ]
+    ps = ", ".join(f"p{i}.i" for i in range(k))
+    conds.append(f"greatest({ps}) - least({ps}) <= {k - 1 + slop}")
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+pos AS (SELECT doc_id, L[i] AS term, i
+        FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t)),
+m AS (SELECT DISTINCT p0.doc_id, least({ps}) AS start
+      FROM pos p0 {joins}
+      WHERE {' AND '.join(conds)})
+SELECT doc_id, count(*)::BIGINT AS n_occ FROM m GROUP BY doc_id"""
+
+
+@register("engine_span_near", _span_near_sql(PHRASE_SLOP_3, 1))
+def engine_span_near(spark, sf_dir):
+    """Lucene/ES ``span_near`` with ``in_order=false`` (the default):
+    the clause terms must co-occur within a window (span ≤ k−1+slop) at
+    DISTINCT positions in ANY order — a different matcher than sloppy
+    phrase (which this corpus's term triple also hits in reverse
+    orders).  Served by the doc-range positional kernel with the
+    unordered starts matcher."""
+    eng = _engine(spark, sf_dir)
+    return eng.span_near_plan(PHRASE_SLOP_3, slop=1, in_order=False).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
+@register("engine_span_near_ordered", _phrase_slop_sql(PHRASE_SLOP_3, 2))
+def engine_span_near_ordered(spark, sf_dir):
+    """``span_near`` with ``in_order=true``: strict clause-order
+    increase with total gap ≤ slop — definitionally the ordered sloppy
+    phrase (a phrase IS an in-order span_near), served through the
+    span_near surface over verbatim index terms."""
+    eng = _engine(spark, sf_dir)
+    return eng.span_near_plan(PHRASE_SLOP_3, slop=2, in_order=True).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ")
+    )
+
+
 def _phrase_moves_sql(terms, slop: int) -> str:
     """MOVE-BASED sloppy-phrase oracle (Lucene/ES ``match_phrase``
     slop, operators/phrase.py ``movable_starts``): a slot-0 occurrence
@@ -1413,9 +1469,6 @@ SELECT p0.doc_id, count(DISTINCT p0.i)::BIGINT AS n_occ
 FROM pos p0 {joins}
 WHERE {' AND '.join(conds)}
 GROUP BY p0.doc_id"""
-
-
-PHRASE_SLOP_3 = ["table", "hash", "window"]
 
 
 @register("engine_phrase_slop", _phrase_slop_sql(PHRASE_SLOP_3, 2))

@@ -536,3 +536,78 @@ def test_phrase_bm25_tfidf_variant(pos_engine, oracle_index):
     assert set(got) == set(want)
     for d, (_pf, s) in want.items():
         assert abs(got[d] - s) < 1e-9
+
+
+# ------------------------------------------------ span_near (round 5)
+
+def _span_terms(phrase: str):
+    """span_term clauses are INDEX terms (verbatim, no analysis) — run
+    the words through the pipeline once so the tests query real
+    dictionary entries."""
+    from elasticsearch_spark.functions.tokenizer import preprocess_query
+
+    return preprocess_query(phrase)
+
+
+SPAN_CASES = [
+    # live webtext vocabulary (the SLOPPY_CASES head terms) so parity
+    # runs over real matches, not empty sets
+    ("pu faducafib", 0, False),
+    ("faducafib pu", 1, False),         # reversed: unordered still hits
+    ("faducafib gahabutew pu", 2, False),
+    ("faducafib gahabutew pu", 2, True),
+    ("faducafib faducafib", 3, False),  # repeated clause: DISTINCT positions
+    ("pu nonexistentterm", 5, False),   # dead clause: parity on empty set
+]
+
+
+@pytest.mark.parametrize("phrase,slop,in_order", SPAN_CASES)
+def test_span_near_parity(pos_engine, oracle_index, phrase, slop, in_order):
+    """Kernel (window matching / greedy chain) vs the oracle's
+    brute-force tuple enumeration — doc ids AND start positions."""
+    terms = _span_terms(phrase)
+    want = oracle_index.span_near_query(terms, slop, in_order)
+    got = {
+        r["doc_id"]: list(r["start_positions"])
+        for r in pos_engine.span_near_plan(terms, slop, in_order).collect()
+    }
+    assert got == want, (phrase, slop, in_order)
+
+
+def test_span_cases_have_matches(oracle_index):
+    """The parity suite must exercise real matches (except the
+    deliberate miss case)."""
+    hits = [
+        len(oracle_index.span_near_query(_span_terms(p), s, o))
+        for p, s, o in SPAN_CASES[:5]
+    ]
+    assert all(h > 0 for h in hits), hits
+
+
+def test_span_near_result_both_tiers(spark, pos_engine, oracle_index):
+    """span_near() through BOTH serving tiers ≡ the oracle's counts and
+    (n_occ desc, doc_id) ranking."""
+    terms = _span_terms("faducafib gahabutew pu")
+    want = oracle_index.span_near_query(terms, 2, False)
+    exp = sorted(((d, len(s)) for d, s in want.items()),
+                 key=lambda x: (-x[1], x[0]))
+    plan_eng = QueryEngine(spark, pos_engine.index_dir, turbo=False)
+    for eng in (pos_engine, plan_eng):
+        res = eng.span_near(terms, k=10, slop=2, in_order=False)
+        assert res["total_hits"] == len(want)
+        assert [(r["doc_id"], r["score"]) for r in res["results"]] == [
+            (d, float(n)) for d, n in exp[:10]
+        ]
+
+
+def test_span_near_unordered_widens_ordered(oracle_index):
+    """Reversed clause order: unordered matching is order-symmetric and
+    strictly wider than ordered — guards against unordered silently
+    running the ordered matcher."""
+    terms = _span_terms("pu faducafib")
+    rev = terms[::-1]
+    u_fwd = oracle_index.span_near_query(terms, 3, False)
+    u_rev = oracle_index.span_near_query(rev, 3, False)
+    assert u_fwd == u_rev and u_fwd
+    o_rev = oracle_index.span_near_query(rev, 3, True)
+    assert sum(map(len, u_rev.values())) > sum(map(len, o_rev.values()))
