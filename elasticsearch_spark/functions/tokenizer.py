@@ -122,3 +122,38 @@ def is_boolean_query(query: str) -> bool:
     contains an operator token or parenthesis
     (``selfindex_i0_no_optimization.py:126-132``)."""
     return bool(re.search(r"\bAND\b|\bOR\b|\bNOT\b|\(|\)", query))
+
+
+# ------------------------------------------- search_as_you_type shingles
+
+SHINGLE_SEP = "_"
+
+
+def shingle_tokens(tokens, n: int, sep: str = SHINGLE_SEP) -> List[str]:
+    """ES shingle filter over an analyzed token stream: the size-``n``
+    shingles in order (``[a,b,c]`` at n=2 → ``["a_b", "b_c"]``).  ES
+    joins shingles with a space; our index terms are whitespace-free
+    (pretokenized sub-indexes split on whitespace), so the separator is
+    ``_`` — a pure representation change.  Shared by the Spark build
+    UDF, the query-side stream builder and the oracle, so the three
+    cannot drift.  n=1 returns the stream itself."""
+    tokens = list(tokens)
+    if n <= 1:
+        return tokens
+    return [sep.join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def sayt_query_stream(terms, n: int, sep: str = SHINGLE_SEP) -> List[str]:
+    """The query-side token stream a ``search_as_you_type`` subfield of
+    shingle size ``n`` sees for analyzed query ``terms``: the size-n
+    shingles when the query is long enough, else ONE partial shingle of
+    everything typed so far (its trailing-prefix role in
+    match_bool_prefix reproduces ES's ``_index_prefix`` edge-n-gram
+    matching — our dictionary range scan plays the prefix index's
+    part)."""
+    terms = list(terms)
+    if not terms:
+        return []
+    if len(terms) < n:
+        return [sep.join(terms)]
+    return shingle_tokens(terms, n, sep)

@@ -853,6 +853,42 @@ def combined_fields_query(field_indexes: Dict[str, OracleIndex],
     }
 
 
+def search_as_you_type_query(field_indexes: Dict[int, OracleIndex],
+                             query_terms, k: int = 10,
+                             boosts: Dict[int, float] | None = None,
+                             max_expansions: int = 50,
+                             method: str = "bm25", operator: str = "or",
+                             minimum_should_match: int | None = None) -> dict:
+    """ES ``search_as_you_type`` oracle: ``field_indexes`` maps shingle
+    size n (1 = the base field) to an OracleIndex built over that
+    subfield's shingled token streams; each subfield runs a
+    ``match_bool_prefix`` against ITS OWN query stream
+    (:func:`~..functions.tokenizer.sayt_query_stream` — size-n
+    shingles, or the partial shingle while fewer than n words are
+    typed) × boost, and per doc the subfield scores SUM (the documented
+    most_fields-style bool_prefix combine)."""
+    from ..functions.tokenizer import sayt_query_stream
+
+    terms = list(query_terms)
+    combined: Dict[int, float] = {}
+    if terms:
+        boosts = boosts or {n: 1.0 for n in field_indexes}
+        for n, boost in boosts.items():
+            stream = sayt_query_stream(terms, n)
+            kept = field_indexes[n].match_bool_prefix_score_all(
+                " ".join(stream), max_expansions, method, operator,
+                minimum_should_match, pretokenized_query=True,
+            )
+            for d, s in kept.items():
+                combined[d] = combined.get(d, 0.0) + s * boost
+    ranked = sorted(combined.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return {
+        "query": " ".join(terms),
+        "total_hits": len(combined),
+        "results": [{"doc_id": d, "score": s} for d, s in ranked],
+    }
+
+
 def cross_fields_score_all(field_indexes: Dict[str, OracleIndex],
                            boosts: Dict[str, float], query: str,
                            tie_breaker: float = 0.0, method: str = "bm25",

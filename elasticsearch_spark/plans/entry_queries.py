@@ -759,6 +759,132 @@ def engine_multi_match_bool_prefix(spark, sf_dir):
     return _topk(plan, 10)
 
 
+def _sayt_sql(terms, max_shingle=3, operator="or", msm=None,
+              k1=K1, b=B, k=10, max_exp=50) -> str:
+    """DuckDB oracle for the ES ``search_as_you_type`` query shape over
+    the documents table: subfields = the token stream (n=1) plus its
+    2..max_shingle ``_``-joined shingle streams; each subfield runs a
+    ``match_bool_prefix`` against ITS OWN query stream (size-n shingles
+    of the typed words, or the partial shingle while fewer than n are
+    typed — the shared ``sayt_query_stream`` spec generates both sides)
+    and the subfield scores SUM per doc.  Per-subfield avgdl divides by
+    ALL docs (a doc shorter than n has zero shingles but still counts),
+    matching the engine's corpus stats."""
+    from ..functions.tokenizer import sayt_query_stream
+
+    sizes = list(range(1, int(max_shingle) + 1))
+    toks = ["""
+tok1 AS (SELECT doc_id, unnest(L) AS term FROM t)"""]
+    for n in sizes[1:]:
+        expr = " || '_' || ".join(f"L[i+{j}]" for j in range(n))
+        toks.append(f"""
+tok{n} AS (SELECT doc_id, {expr} AS term
+           FROM (SELECT doc_id, L, generate_subscripts(L, 1) AS i FROM t)
+           WHERE i + {n - 1} <= len(L))""")
+    parts, unions = [], []
+    for n in sizes:
+        stream = sayt_query_stream(terms, n)
+        full, prefix = stream[:-1], stream[-1]
+        n_terms = len(set(full))
+        tf_cond = (f"term IN ({_sql_terms(full)})" if full else "FALSE")
+        if operator == "and":
+            req = (f"nt >= (SELECT count(*) FROM idf{n} WHERE idf <> 0) + 1 "
+                   f"AND (SELECT count(*) FROM dfq{n}) = {n_terms} "
+                   f"AND EXISTS (SELECT 1 FROM expd{n})")
+        elif msm is not None:
+            req = (f"nt >= greatest({int(msm)} - "
+                   f"(SELECT count(*) FROM idf{n} WHERE idf = 0), 0)")
+        else:
+            req = "nt >= 0"
+        parts.append(f"""
+dl{n} AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok{n} GROUP BY doc_id),
+c{n} AS (SELECT nall.n AS n,
+                (SELECT coalesce(sum(doc_len), 0)::DOUBLE FROM dl{n}) / nall.n AS avgdl
+         FROM nall),
+tf{n} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok{n}
+          WHERE {tf_cond} GROUP BY term, doc_id),
+dfq{n} AS (SELECT term, count(*)::BIGINT AS df FROM tf{n} GROUP BY term),
+idf{n} AS (SELECT term, ln((c{n}.n + 1)::DOUBLE / (dfq{n}.df + 1)::DOUBLE) AS idf
+           FROM dfq{n}, c{n}),
+expd{n} AS (SELECT DISTINCT term FROM tok{n} WHERE term LIKE '{prefix}%'
+            ORDER BY term LIMIT {int(max_exp)}),
+sc{n} AS (SELECT tf.doc_id,
+                 sum(idf.idf * ((tf.tf * ({k1} + 1)) /
+                     (tf.tf + {k1} * (1 - {b} + {b} * (dl.doc_len / c{n}.avgdl))))) AS score,
+                 count(*)::BIGINT AS nt
+          FROM tf{n} tf JOIN idf{n} idf ON tf.term = idf.term
+                        JOIN dl{n} dl ON tf.doc_id = dl.doc_id, c{n}
+          WHERE idf.idf <> 0
+          GROUP BY tf.doc_id),
+pd{n} AS (SELECT DISTINCT doc_id FROM tok{n}
+          WHERE term IN (SELECT term FROM expd{n})),
+s{n} AS (SELECT doc_id, score AS s FROM (
+           SELECT doc_id, sum(score) AS score, sum(nt)::BIGINT AS nt
+           FROM (SELECT doc_id, score, nt FROM sc{n}
+                 UNION ALL
+                 SELECT doc_id, 1.0 AS score, 1::BIGINT AS nt FROM pd{n})
+           GROUP BY doc_id)
+         WHERE {req})""")
+        unions.append(f"SELECT doc_id, s FROM s{n}")
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+       FROM documents WHERE lang = 'en'),
+nall AS (SELECT count(*)::BIGINT AS n FROM t),
+{','.join(toks)},
+{','.join(parts)},
+u AS ({' UNION ALL '.join(unions)}),
+comb AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score_r FROM comb
+ORDER BY score_r DESC, doc_id LIMIT {k}"""
+
+
+def _sayt_engine(spark, sf_dir):
+    """Build (once) the search_as_you_type subfield family over the
+    documents table (base stream + __2gram/__3gram shingle sub-indexes,
+    one shared doc-id space) and return its engine."""
+    from ..operators.build import IndexConfig
+    from ..operators.sayt import (
+        SearchAsYouTypeEngine,
+        SearchAsYouTypeIndexBuilder,
+    )
+
+    cfg = IndexConfig(
+        n_buckets=8, doc_range_bits=6, lang="en", pretokenized=True,
+        use_html=False,
+    )
+    key = os.path.abspath(sf_dir) + repr(cfg) + ":sayt"
+    if key not in _ENGINE_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "es_spark_entry_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        )
+        if not os.path.exists(os.path.join(idx_dir, "sayt.json")):
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            SearchAsYouTypeIndexBuilder(
+                spark, idx_dir, field="text", config=cfg,
+                max_shingle_size=3,
+            ).build(docs)
+        _ENGINE_CACHE[key] = SearchAsYouTypeEngine(spark, idx_dir)
+    return _ENGINE_CACHE[key]
+
+
+SAYT_TERMS = ["spark", "table", "me"]
+
+
+@register("engine_search_as_you_type", _sayt_sql(SAYT_TERMS))
+def engine_search_as_you_type(spark, sf_dir):
+    """ES ``search_as_you_type``: 'spark table me' (trailing partial
+    word) against the base/2gram/3gram shingle subfield family — each
+    subfield runs match_bool_prefix on ITS OWN shingled stream
+    ('spark_table' + prefix 'table_me', prefix 'spark_table_me'), the
+    subfield scores SUM per doc (the documented multi_match bool_prefix
+    combine)."""
+    eng = _sayt_engine(spark, sf_dir)
+    plan = eng.plan(" ".join(SAYT_TERMS))
+    return _topk(plan, 10)
+
+
 def _cross_fields_sql(terms, boosts=((2.0, 3), (1.0, 0)), tie_breaker=0.0,
                       operator="or", msm=None, k1=K1, b=B, k=10) -> str:
     """DuckDB oracle for multi_match ``type: cross_fields`` over the
