@@ -2948,6 +2948,81 @@ class QueryEngine:
         )
         return hits.agg(agg.cast("long").alias("n_distinct"))
 
+    def composite_agg(self, terms: Sequence[str],
+                      sources: Sequence[tuple], dims: Optional[DataFrame] = None,
+                      size: int = 10, after: Optional[dict] = None,
+                      on: str = "doc_id") -> DataFrame:
+        """ES ``composite`` aggregation over the hit set: paginated
+        multi-source buckets, one row per composite key, ascending key
+        order (the ES default), keyset-paginated by ``after`` (the
+        previous page's last key — ES's ``after_key``).
+
+        ``sources``: ``(name, "terms", col)`` or ``(name, "histogram",
+        col, interval)`` tuples; ``col`` is ``doc_len`` (index-resident,
+        rides the postings rows) or an attribute of ``dims`` (hit set ⋈
+        attribute table, the data-lake pattern).
+
+        Scale shape: the ``after`` cursor compiles to a LEXICOGRAPHIC
+        key filter applied BELOW the aggregation — a bucket's key is a
+        pure function of the row, so rows at-or-before the cursor can
+        never reach a later bucket and are dropped at the scan, which
+        is exactly why ES recommends composite over deep terms-agg
+        pagination: each page is one bounded
+        aggregate + TakeOrderedAndProject, state never accumulates."""
+        base = self.match_plan(terms)
+        if dims is not None:
+            base = base.join(dims, on)
+        names: List[str] = []
+        key_cols = []
+        for spec in sources:
+            name, kind, col = spec[0], spec[1], spec[2]
+            if kind == "terms":
+                key_cols.append(F.col(col).alias(name))
+            elif kind == "histogram":
+                interval = int(spec[3])
+                key_cols.append(
+                    (F.floor(F.col(col) / interval) * interval)
+                    .cast("long").alias(name)
+                )
+            else:
+                raise ValueError(f"unknown composite source kind {kind!r}")
+            names.append(name)
+        keyed = base.select(*key_cols)
+        if after is not None:
+            cond = F.lit(False)
+            for n in reversed(names):
+                cond = (F.col(n) > F.lit(after[n])) | (
+                    (F.col(n) == F.lit(after[n])) & cond
+                )
+            keyed = keyed.filter(cond)
+        return (
+            keyed.groupBy(*[F.col(n) for n in names])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy(*[F.col(n).asc() for n in names])
+            .limit(int(size))
+        )
+
+    def composite(self, terms: Sequence[str], sources: Sequence[tuple],
+                  dims: Optional[DataFrame] = None, size: int = 10,
+                  after: Optional[dict] = None, on: str = "doc_id") -> dict:
+        """ES composite result shape: ``{buckets: [{key: {...},
+        doc_count}], after_key}`` — feed ``after_key`` back as ``after``
+        for the next page (None when the stream is exhausted)."""
+        names = [s[0] for s in sources]
+        with self._interactive():
+            rows = self.composite_agg(
+                terms, sources, dims, size, after, on
+            ).collect()
+        buckets = [
+            {"key": {n: r[n] for n in names}, "doc_count": r["n_docs"]}
+            for r in rows
+        ]
+        return {
+            "buckets": buckets,
+            "after_key": buckets[-1]["key"] if len(buckets) == int(size)
+            else None,
+        }
+
     def top_hits_by(self, query: str, dims: DataFrame,
                     col: str = "source", n: int = 3,
                     method: str = "bm25", on: str = "doc_id"

@@ -1308,6 +1308,33 @@ def engine_match_bool_prefix(spark, sf_dir):
     return _topk(plan, 10)
 
 
+@register(
+    "engine_composite_agg",
+    f"""WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT tok.doc_id, dl.doc_len FROM tok
+         JOIN dl ON tok.doc_id = dl.doc_id
+         WHERE tok.term IN ({_sql_terms(Q1_TERMS)})),
+b AS (SELECT d.source AS src, (floor(hits.doc_len / 16) * 16)::BIGINT AS len16,
+             count(*)::BIGINT AS n_docs
+      FROM hits JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT src, len16, n_docs FROM b ORDER BY src, len16 LIMIT 5 OFFSET 5""",
+)
+def engine_composite_agg(spark, sf_dir):
+    """ES ``composite`` aggregation, PAGE 2 (terms(source) ×
+    histogram(doc_len, 16) over the hit set): the engine pages with the
+    ES after_key keyset cursor (a lexicographic key filter pushed BELOW
+    the aggregation), the oracle with ORDER BY … OFFSET — agreement
+    proves cursor pagination ≡ offset semantics while the engine never
+    accumulates per-page state."""
+    eng = _engine(spark, sf_dir)
+    dims = _docs(spark, sf_dir).select("doc_id", "source")
+    sources = [("src", "terms", "source"),
+               ("len16", "histogram", "doc_len", 16)]
+    page1 = eng.composite(Q1_TERMS, sources, dims, size=5)
+    return eng.composite_agg(Q1_TERMS, sources, dims, size=5,
+                             after=page1["after_key"])
+
+
 def _engine_inc(spark, sf_dir):
     """Engine over an INCREMENTALLY-built index: base build on even
     doc_ids, then ``update_index(add=<odd doc_ids>)`` — which leaves an

@@ -538,3 +538,27 @@ def test_fetch_plan_matches_fetch_source(spark, index_dir, corpus):
         h["doc_id"]: (h["_source"]["url"], h["_source"]["lang"])
         for h in driver
     }
+
+
+# ---------------------------------------------- composite agg (round 5)
+
+def test_composite_agg_pagination_exhaustive(engine):
+    """Walking every composite page through after_key cursors must
+    reproduce the single-shot bucket stream exactly, end with
+    after_key=None, and never repeat or skip a key."""
+    sources = [("len8", "histogram", "doc_len", 8)]
+    full = engine.composite(["visit", "spark", "mail"], sources, size=10_000)
+    assert full["buckets"] and full["after_key"] is None
+    walked, after, pages = [], None, 0
+    while True:
+        page = engine.composite(["visit", "spark", "mail"], sources,
+                                size=3, after=after)
+        walked.extend(page["buckets"])
+        pages += 1
+        if page["after_key"] is None:
+            break
+        after = page["after_key"]
+    assert walked == full["buckets"]
+    assert pages >= 2, "fixture too small to exercise pagination"
+    keys = [tuple(b["key"].values()) for b in walked]
+    assert keys == sorted(set(keys)), "pages repeated or disordered keys"
