@@ -853,6 +853,40 @@ def combined_fields_query(field_indexes: Dict[str, OracleIndex],
     }
 
 
+def percolate_oracle(queries, docs, pretokenized_queries: bool = False,
+                     pretokenized_docs: bool = False) -> Dict[int, List[int]]:
+    """ES ``percolate`` oracle — reverse search by brute force:
+    ``queries`` = (query_id, query, operator, msm) tuples (operator
+    "or"/"and"; msm overrides the or-threshold), ``docs`` = (doc_id,
+    text).  A doc matches a query when its analyzed DISTINCT terms
+    cover ≥ required of the query's analyzed distinct terms (the ES
+    ``match`` semantics the engine's prefilter join implements);
+    queries analyzing to zero terms match nothing."""
+    prepared = []
+    for query_id, query, operator, msm in queries:
+        terms = set(query.split() if pretokenized_queries
+                    else preprocess_query(query))
+        if not terms:
+            continue
+        if operator == "and":
+            required = len(terms)
+        elif msm is not None:
+            required = max(int(msm), 1)
+        else:
+            required = 1
+        prepared.append((int(query_id), terms, required))
+    out: Dict[int, List[int]] = {}
+    for doc_id, text in docs:
+        dterms = set(text.split() if pretokenized_docs else tokenize(text))
+        hits = sorted(
+            qid for qid, terms, required in prepared
+            if len(terms & dterms) >= required
+        )
+        if hits:
+            out[int(doc_id)] = hits
+    return out
+
+
 def search_as_you_type_query(field_indexes: Dict[int, OracleIndex],
                              query_terms, k: int = 10,
                              boosts: Dict[int, float] | None = None,

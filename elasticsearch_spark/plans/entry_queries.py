@@ -1335,6 +1335,58 @@ def engine_composite_agg(spark, sf_dir):
                              after=page1["after_key"])
 
 
+PERCOLATE_QUERIES = [
+    # (query_id, query, operator, msm)
+    (1, "hash join", "and", None),
+    (2, "spark dup merge", "or", 2),
+    (3, "window", "or", None),
+    (4, "zzzznever qqqqnever", "and", None),   # can never match
+]
+
+
+def _percolate_sql(queries) -> str:
+    """DuckDB oracle for ES ``percolate`` (reverse search): the saved
+    queries' distinct terms as a VALUES inverted index, matched-term
+    counts per (doc, query) vs each query's required threshold
+    (operator=and -> all terms, msm -> msm, or -> 1)."""
+    qrows, rrows = [], []
+    for qid, q, op, msm in queries:
+        terms = sorted(set(q.split()))
+        if not terms:
+            continue
+        required = (len(terms) if op == "and"
+                    else max(int(msm), 1) if msm is not None else 1)
+        qrows += [f"({qid}, '{t}')" for t in terms]
+        rrows.append(f"({qid}, {required})")
+    return f"""WITH q(query_id, term) AS (VALUES {', '.join(qrows)}),
+req(query_id, required) AS (VALUES {', '.join(rrows)}),
+dt AS (SELECT DISTINCT doc_id, term FROM
+       (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang = 'en')),
+m AS (SELECT doc_id, q.query_id, count(*)::BIGINT AS nt
+      FROM dt JOIN q USING (term) GROUP BY 1, 2)
+SELECT m.doc_id, m.query_id::BIGINT AS query_id
+FROM m JOIN req USING (query_id) WHERE m.nt >= req.required"""
+
+
+@register("engine_percolate", _percolate_sql(PERCOLATE_QUERIES))
+def engine_percolate(spark, sf_dir):
+    """ES ``percolate`` — reverse search: four saved match queries
+    (and / msm / or / unmatchable) against every document; the
+    query-term inverted index BROADCASTS, so the document pass is
+    shuffle-free up to the (doc, query) combine."""
+    from ..operators.percolate import Percolator
+
+    qdf = spark.createDataFrame(
+        [(qid, q, op, msm) for qid, q, op, msm in PERCOLATE_QUERIES],
+        "query_id long, query string, operator string, msm long",
+    )
+    perc = Percolator(spark, qdf, pretokenized=True)
+    return perc.percolate_plan(
+        _docs(spark, sf_dir), pretokenized=True
+    )
+
+
 def _engine_inc(spark, sf_dir):
     """Engine over an INCREMENTALLY-built index: base build on even
     doc_ids, then ``update_index(add=<odd doc_ids>)`` — which leaves an
