@@ -3114,6 +3114,77 @@ class QueryEngine:
             ).alias("score"),
         )
 
+    # ---------------------------------------------------- rank_feature (ES)
+    def rank_feature_pivot(self, dims: DataFrame, field: str,
+                           on: str = "doc_id") -> float:
+        """ES's default ``rank_feature`` pivot: approximately the
+        geometric mean of the field's positive values — one bounded
+        aggregate (exp∘avg∘ln) over the attribute table."""
+        row = (
+            dims.select(F.col(field).cast("double").alias("_x"))
+            .filter(F.col("_x") > 0)
+            .agg(F.exp(F.avg(F.log("_x"))).alias("p"))
+            .collect()[0]["p"]
+        )
+        return float(row) if row is not None else 1.0
+
+    def rank_feature_plan(self, dims: DataFrame, field: str,
+                          function: str = "saturation",
+                          pivot: Optional[float] = None,
+                          exponent: float = 2.5,
+                          scaling_factor: float = 1.0,
+                          boost: float = 1.0,
+                          on: str = "doc_id") -> DataFrame:
+        """ES ``rank_feature`` as a standalone scoring query: matches
+        every doc with a POSITIVE feature value (the rank_feature field
+        contract), scored boost × S(x) with ES's function set —
+        saturation x/(x+pivot) (pivot defaults to
+        :meth:`rank_feature_pivot`), log ln(scaling_factor + x),
+        sigmoid x^e/(x^e + pivot^e).  The feature stays in its own
+        attribute table (the data-lake pattern)."""
+        feat = dims.select(
+            on, F.col(field).cast("double").alias("_x")
+        ).filter(F.col("_x") > 0)
+        if function in ("saturation", "sigmoid") and pivot is None:
+            pivot = self.rank_feature_pivot(dims, field, on)
+        if function == "saturation":
+            s = F.col("_x") / (F.col("_x") + F.lit(float(pivot)))
+        elif function == "log":
+            s = F.log(F.lit(float(scaling_factor)) + F.col("_x"))
+        elif function == "sigmoid":
+            e = float(exponent)
+            s = F.pow(F.col("_x"), F.lit(e)) / (
+                F.pow(F.col("_x"), F.lit(e)) + F.lit(float(pivot) ** e)
+            )
+        else:
+            raise ValueError(f"unknown rank_feature function {function!r}")
+        return feat.select(on, (F.lit(float(boost)) * s).alias("score"))
+
+    def match_rank_feature_plan(self, query: str, dims: DataFrame,
+                                field: str, function: str = "saturation",
+                                pivot: Optional[float] = None,
+                                exponent: float = 2.5,
+                                scaling_factor: float = 1.0,
+                                boost: float = 1.0, method: str = "bm25",
+                                on: str = "doc_id") -> Optional[DataFrame]:
+        """The canonical ES use: ``bool { must: match, should:
+        rank_feature }`` — the match gates relevance, the feature adds
+        boost × S(x) where present (LEFT join + coalesce 0, docs keep
+        matching without the feature).  One broadcastable join on top
+        of the proven match plan."""
+        base = self.score_plan(query, method)
+        if base is None:
+            return None
+        rf = self.rank_feature_plan(
+            dims, field, function, pivot, exponent, scaling_factor,
+            boost, on,
+        ).withColumnRenamed("score", "_rf")
+        return base.join(rf, on, "left").select(
+            on,
+            (F.col("score") + F.coalesce(F.col("_rf"), F.lit(0.0)))
+            .alias("score"),
+        )
+
     def function_score_plan(self, query: str, dims: DataFrame,
                             field: str, modifier: str = "none",
                             factor: float = 1.0,

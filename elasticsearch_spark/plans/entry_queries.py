@@ -2246,6 +2246,56 @@ def engine_rescore_topk(spark, sf_dir):
 
 
 @register(
+    "engine_rank_feature",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS)},
+piv AS (SELECT exp(avg(ln(n_chars))) AS p FROM documents
+        WHERE lang = 'en' AND n_chars > 0)
+SELECT s.doc_id,
+       round(s.score + coalesce(1.5 * (d.n_chars / (d.n_chars + piv.p)), 0),
+             6) AS score_r
+FROM scored s
+LEFT JOIN (SELECT doc_id, n_chars::DOUBLE AS n_chars FROM documents
+           WHERE n_chars > 0) d USING (doc_id), piv
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` inside the canonical bool-should shape: the
+    match gates relevance, the n_chars feature adds boost ×
+    saturation(x) = x/(x+pivot) with ES's default pivot (the field's
+    geometric mean, one bounded aggregate) — a LEFT join, so docs
+    without the feature keep matching unboosted."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_rank_feature_plan(
+        " ".join(Q1_TERMS), _docs(spark, sf_dir), "n_chars", boost=1.5,
+    )
+    return _topk(plan, 10)
+
+
+@register(
+    "engine_rank_feature_log",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS)}
+SELECT s.doc_id,
+       round(s.score + coalesce(0.7 * ln(2.0 + d.n_chars), 0), 6) AS score_r
+FROM scored s
+LEFT JOIN (SELECT doc_id, n_chars::DOUBLE AS n_chars FROM documents
+           WHERE n_chars > 0) d USING (doc_id)
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_rank_feature_log(spark, sf_dir):
+    """rank_feature with the ``log`` function ln(scaling_factor + x) —
+    the unbounded-feature variant (ES offers it for fields whose
+    dynamic range defeats saturation)."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_rank_feature_plan(
+        " ".join(Q1_TERMS), _docs(spark, sf_dir), "n_chars",
+        function="log", scaling_factor=2.0, boost=0.7,
+    )
+    return _topk(plan, 10)
+
+
+@register(
     "engine_function_score",
     f"""WITH {_TOK_CTE},
 {_scored_cte(Q1_TERMS)}

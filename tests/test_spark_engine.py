@@ -562,3 +562,49 @@ def test_composite_agg_pagination_exhaustive(engine):
     assert pages >= 2, "fixture too small to exercise pagination"
     keys = [tuple(b["key"].values()) for b in walked]
     assert keys == sorted(set(keys)), "pages repeated or disordered keys"
+
+
+# ----------------------------------------------- rank_feature (round 5)
+
+def test_rank_feature_semantics(spark, engine):
+    """rank_feature hand-math: saturation/log/sigmoid values, ES
+    default pivot = geometric mean of positive values, docs with
+    missing/non-positive features keep matching unboosted (LEFT join),
+    and the standalone rank_feature query only matches feature docs."""
+    import math
+
+    base = engine.score_plan("visit spark")
+    assert base is not None
+    ids = sorted(r["doc_id"] for r in base.collect())
+    assert len(ids) >= 3
+    # features: first doc 9.0, second doc 0 (non-positive -> no boost),
+    # third doc missing entirely
+    feat = spark.createDataFrame(
+        [(ids[0], 9.0), (ids[1], 0.0)] + [(ids[i], 3.0) for i in range(3, len(ids))],
+        "doc_id long, quality double",
+    )
+    pivot = engine.rank_feature_pivot(feat, "quality")
+    vals = [9.0] + [3.0] * max(len(ids) - 3, 0)
+    want_pivot = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    assert abs(pivot - want_pivot) < 1e-9
+
+    plan = engine.match_rank_feature_plan(
+        "visit spark", feat, "quality", boost=2.0
+    )
+    got = {r["doc_id"]: r["score"] for r in plan.collect()}
+    base_s = {r["doc_id"]: r["score"] for r in base.collect()}
+    assert set(got) == set(base_s)          # must-match gating unchanged
+    assert abs(got[ids[0]] - (base_s[ids[0]] + 2.0 * 9.0 / (9.0 + pivot))) < 1e-9
+    assert abs(got[ids[1]] - base_s[ids[1]]) < 1e-12   # 0-feature: no boost
+    assert abs(got[ids[2]] - base_s[ids[2]]) < 1e-12   # missing: no boost
+
+    # log + sigmoid functions, hand-computed on one doc
+    for fn, kw, expect in [
+        ("log", {"scaling_factor": 1.0}, math.log(1.0 + 9.0)),
+        ("sigmoid", {"pivot": 3.0, "exponent": 2.0},
+         81.0 / (81.0 + 9.0)),
+    ]:
+        rf = engine.rank_feature_plan(feat, "quality", function=fn, **kw)
+        m = {r["doc_id"]: r["score"] for r in rf.collect()}
+        assert ids[1] not in m              # standalone: positive-only
+        assert abs(m[ids[0]] - expect) < 1e-9, fn
