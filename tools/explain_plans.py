@@ -148,6 +148,42 @@ def main():
     assert "CartesianProduct" not in mm_plan, "multi_match has a cartesian join"
     print("## OK: no CartesianProduct in multi_match")
 
+    print("=" * 70, "\n## combined_fields plan (expect per-field pruned scans →")
+    print("## ONE (doc_id, term) merge agg → norm-view join → doc agg)\n",
+          "=" * 70)
+    cf_df = mm.combined_fields_plan(f"{t1} {t2}", fields=["title^2", "text"])
+    cf_df.explain("formatted")
+    cf_plan = cf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cf_plan
+    print("## OK: no CartesianProduct in combined_fields")
+
+    print("=" * 70, "\n## percolate plan (expect BroadcastHashJoin on term —")
+    print("## the query-term index broadcasts, doc pass is shuffle-free")
+    print("## up to the (doc, query) combine)\n", "=" * 70)
+    from elasticsearch_spark.operators.percolate import Percolator
+
+    qdf = spark.createDataFrame(
+        [(1, f"{t1} {t2}", "and", None), (2, t2, "or", None)],
+        "query_id long, query string, operator string, msm long",
+    )
+    perc_df = Percolator(spark, qdf).percolate_plan(
+        spark.createDataFrame(corpus_rows(200), schema)
+        .selectExpr("monotonically_increasing_id() as doc_id", "text")
+    )
+    perc_df.explain("formatted")
+    perc_plan = perc_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in perc_plan, "percolate term join not broadcast"
+    print("## OK: percolate term join broadcasts")
+
+    print("=" * 70, "\n## composite agg page-2 plan (expect the after-key")
+    print("## lexicographic filter BELOW the aggregation, ascending")
+    print("## TakeOrderedAndProject on top)\n", "=" * 70)
+    comp_df = engine.composite_agg(
+        [t1, t2], [("len8", "histogram", "doc_len", 8)], size=5,
+        after={"len8": 0},
+    )
+    comp_df.explain("formatted")
+
 
 if __name__ == "__main__":
     main()
