@@ -3178,11 +3178,56 @@ class QueryEngine:
         rf = self.rank_feature_plan(
             dims, field, function, pivot, exponent, scaling_factor,
             boost, on,
-        ).withColumnRenamed("score", "_rf")
-        return base.join(rf, on, "left").select(
+        )
+        return self._add_should_boost(base, rf, on)
+
+    @staticmethod
+    def _add_should_boost(base: DataFrame, booster: DataFrame,
+                          on: str = "doc_id") -> DataFrame:
+        """bool { must: <base>, should: <booster> } score combine: the
+        base gates matching, the booster's score adds where present
+        (LEFT join + coalesce 0) — shared by rank_feature and
+        distance_feature."""
+        b = booster.withColumnRenamed("score", "_boost")
+        return base.join(b, on, "left").select(
             on,
-            (F.col("score") + F.coalesce(F.col("_rf"), F.lit(0.0)))
+            (F.col("score") + F.coalesce(F.col("_boost"), F.lit(0.0)))
             .alias("score"),
+        )
+
+    def distance_feature_plan(self, dims: DataFrame, field: str,
+                              origin: float, pivot: float,
+                              boost: float = 1.0,
+                              on: str = "doc_id") -> DataFrame:
+        """ES ``distance_feature`` as a standalone scoring query: score
+        = boost × pivot / (pivot + |field − origin|) for docs HAVING
+        the field (ES computes the same shape for date distances in
+        millis and geo distances in meters; any numeric/castable column
+        works here — the data-lake attribute-table pattern)."""
+        feat = dims.select(
+            on, F.col(field).cast("double").alias("_x")
+        ).filter(F.col("_x").isNotNull())
+        p = float(pivot)
+        score = F.lit(float(boost)) * F.lit(p) / (
+            F.lit(p) + F.abs(F.col("_x") - F.lit(float(origin)))
+        )
+        return feat.select(on, score.alias("score"))
+
+    def match_distance_feature_plan(self, query: str, dims: DataFrame,
+                                    field: str, origin: float, pivot: float,
+                                    boost: float = 1.0,
+                                    method: str = "bm25",
+                                    on: str = "doc_id"
+                                    ) -> Optional[DataFrame]:
+        """``bool { must: match, should: distance_feature }`` — recency
+        / proximity boosting in one LEFT join over the match plan."""
+        base = self.score_plan(query, method)
+        if base is None:
+            return None
+        return self._add_should_boost(
+            base,
+            self.distance_feature_plan(dims, field, origin, pivot, boost, on),
+            on,
         )
 
     def function_score_plan(self, query: str, dims: DataFrame,

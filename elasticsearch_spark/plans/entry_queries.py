@@ -2296,6 +2296,29 @@ def engine_rank_feature_log(spark, sf_dir):
 
 
 @register(
+    "engine_distance_feature",
+    f"""WITH {_TOK_CTE},
+{_scored_cte(Q1_TERMS)}
+SELECT s.doc_id,
+       round(s.score + coalesce(2.0 * 200.0 / (200.0 + abs(d.n_chars - 800.0)),
+                                0), 6) AS score_r
+FROM scored s LEFT JOIN documents d USING (doc_id)
+ORDER BY score_r DESC, doc_id LIMIT 10""",
+)
+def engine_distance_feature(spark, sf_dir):
+    """ES ``distance_feature`` in the bool-should shape: the match
+    gates relevance, docs near origin=800 on n_chars gain boost ×
+    pivot/(pivot + |x − origin|) — the recency/proximity booster, one
+    LEFT join over the match plan."""
+    eng = _engine(spark, sf_dir)
+    plan = eng.match_distance_feature_plan(
+        " ".join(Q1_TERMS), _docs(spark, sf_dir), "n_chars",
+        origin=800.0, pivot=200.0, boost=2.0,
+    )
+    return _topk(plan, 10)
+
+
+@register(
     "engine_function_score",
     f"""WITH {_TOK_CTE},
 {_scored_cte(Q1_TERMS)}

@@ -608,3 +608,25 @@ def test_rank_feature_semantics(spark, engine):
         m = {r["doc_id"]: r["score"] for r in rf.collect()}
         assert ids[1] not in m              # standalone: positive-only
         assert abs(m[ids[0]] - expect) < 1e-9, fn
+
+
+def test_distance_feature_semantics(spark, engine):
+    """distance_feature hand-math: boost×pivot/(pivot+|x−origin|),
+    missing feature ⇒ matching unboosted, standalone ⇒ feature docs
+    only."""
+    base = engine.score_plan("visit spark")
+    ids = sorted(r["doc_id"] for r in base.collect())
+    feat = spark.createDataFrame(
+        [(ids[0], 790.0)] + [(d, 400.0) for d in ids[2:]],
+        "doc_id long, ts double",
+    )
+    plan = engine.match_distance_feature_plan(
+        "visit spark", feat, "ts", origin=800.0, pivot=100.0, boost=3.0
+    )
+    got = {r["doc_id"]: r["score"] for r in plan.collect()}
+    base_s = {r["doc_id"]: r["score"] for r in base.collect()}
+    assert set(got) == set(base_s)
+    assert abs(got[ids[0]] - (base_s[ids[0]] + 3.0 * 100.0 / 110.0)) < 1e-9
+    assert abs(got[ids[1]] - base_s[ids[1]]) < 1e-12   # missing feature
+    rf = engine.distance_feature_plan(feat, "ts", 800.0, 100.0)
+    assert ids[1] not in {r["doc_id"] for r in rf.collect()}
