@@ -135,7 +135,7 @@ def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
         sel_a = [F.col("a.id").alias("a"), F.col("b.id").alias("b")]
     if cap is None:
         a, b = banded.alias("a"), banded.alias("b")
-        return (
+        pairs = (
             a.join(
                 b,
                 (F.col("a.q") == F.col("b.q"))
@@ -145,6 +145,17 @@ def _bucket_self_pairs(banded: DataFrame, cap: Optional[int],
             .select(*sel_a)
             .distinct()
         )
+        if cap_observation is not None:
+            # uncapped run: attach the observation anyway (all zeros) —
+            # a caller combining bucket_cap=None with cap stats would
+            # otherwise hang forever in Observation.get (no plan ever
+            # carries the observation)
+            pairs = pairs.observe(
+                cap_observation,
+                (F.count(F.lit(1)) * 0).alias("capped_buckets"),
+                (F.count(F.lit(1)) * 0).alias("capped_rows"),
+            )
+        return pairs
     w = Window.partitionBy("q", "qk")
     rep_struct = F.min(
         F.struct("id", *(["h"] if with_hash else []))

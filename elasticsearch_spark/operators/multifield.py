@@ -313,6 +313,13 @@ class MultiMatchEngine:
                     query, max_expansions, method, operator,
                     minimum_should_match,
                 )
+            elif operator != "or" or minimum_should_match is not None:
+                # ES honors operator/msm on best_fields/most_fields by
+                # applying them to EACH per-field match (the phrase
+                # kinds above ignore them, ES's documented behavior)
+                p = eng.match_scored_plan(
+                    query, method, operator, minimum_should_match
+                )
             else:
                 p = eng.score_plan(query, method)
             if p is not None:
@@ -694,13 +701,19 @@ class MultiMatchEngine:
             ):
                 return None
             try:
-                for i, t in enumerate(uniq):
-                    _ta, d, tf, dl = eng._postings_point_read([t])
-                    ok = dl > 0
-                    d, tf = d[ok], tf[ok]
-                    code_parts.append(np.full(d.size, i, dtype=np.int64))
-                    doc_parts.append(d)
-                    wtf_parts.append(tf.astype(np.float64) * float(boost))
+                # ONE batched point read per field (the interactive-
+                # latency path), codes derived from the returned term
+                # array — the _turbo_scored_rows recipe
+                term_a, d, tf, dl = eng._postings_point_read(uniq)
+                ok = dl > 0
+                term_a, d, tf = term_a[ok], d[ok], tf[ok]
+                codes_map = {t: i for i, t in enumerate(uniq)}
+                code_parts.append(np.fromiter(
+                    (codes_map[t] for t in term_a), dtype=np.int64,
+                    count=term_a.size,
+                ))
+                doc_parts.append(d)
+                wtf_parts.append(tf.astype(np.float64) * float(boost))
                 field_lens.append((float(boost), eng._turbo_doc_lens()))
             except Exception:
                 return None
@@ -886,8 +899,12 @@ class MultiMatchEngine:
             )
             if res is not None:
                 return self._fetch(res, source, source_fields)
-        elif match_type not in ("phrase", "phrase_prefix", "bool_prefix"):
-            # phrase + bool_prefix kinds serve from the plan tier
+        elif (
+            match_type not in ("phrase", "phrase_prefix", "bool_prefix")
+            and operator == "or" and minimum_should_match is None
+        ):
+            # phrase + bool_prefix kinds serve from the plan tier, as do
+            # operator/msm-filtered best_fields/most_fields
             res = self._turbo_multi_match(
                 query, k, boosts, match_type, tie_breaker, method,
                 with_total_hits,
@@ -1053,6 +1070,15 @@ class MultiMatchWand:
         all_rids = set()
         for ubf in ub_f.values():
             all_rids.update(ubf)
+        if not all_rids:
+            # live weights but zero block rows (e.g. a segment without
+            # blocks): nothing to score — without this guard the final
+            # np.concatenate([]) raises
+            if with_stats:
+                empty["stats"] = {"ranges_scored": 0, "ranges_total": 0,
+                                  "blocks_decoded": 0,
+                                  "blocks_total": blocks_total}
+            return empty
         tb = float(tie_breaker)
         ub: Dict[int, float] = {}
         for rid in all_rids:

@@ -123,6 +123,8 @@ class Percolator:
             docs, id_col, text_col, pretokenized
         ).collect()
         out: dict = {}
+        # doc ids pass through untouched — percolate_plan accepts any
+        # id column type (string urls included), so no int() cast here
         for r in rows:
-            out.setdefault(int(r["doc_id"]), []).append(int(r["query_id"]))
+            out.setdefault(r["doc_id"], []).append(int(r["query_id"]))
         return {d: sorted(qs) for d, qs in out.items()}

@@ -775,7 +775,17 @@ class QueryEngine:
         )
         j = d.join(F.broadcast(topk), "doc_id")
         src = source.select(F.col(url_col).alias("url"), *fields)
-        return src.join(F.broadcast(j), "url")
+        found = src.join(F.broadcast(j), "url")
+        # hits whose url is missing from the caller's source table keep
+        # their row with null stored fields — fetch_source's behavior
+        # (an inner join would silently shrink the hit list when the
+        # lake table lags the index)
+        missed = j.join(src.select("url"), "url", "left_anti").select(
+            "url", *[F.lit(None).cast(src.schema[f].dataType).alias(f)
+                     for f in fields],
+            *[c for c in j.columns if c != "url"],
+        )
+        return found.unionByName(missed)
 
     def search(self, query: str, k: int = 10, method: str = "bm25",
                source: Optional[DataFrame] = None,
@@ -2989,16 +2999,26 @@ class QueryEngine:
             names.append(name)
         keyed = base.select(*key_cols)
         if after is not None:
+            # NULL-safe lexicographic "key > after": a null key component
+            # sorts FIRST (the explicit asc_nulls_first order below), so
+            # null < any value both as a cursor component and as a row
+            # component — without this, a null anywhere turns the
+            # comparison NULL and silently truncates pagination
             cond = F.lit(False)
             for n in reversed(names):
-                cond = (F.col(n) > F.lit(after[n])) | (
-                    (F.col(n) == F.lit(after[n])) & cond
-                )
+                v = after.get(n)
+                if v is None:
+                    gt = F.col(n).isNotNull()
+                    eq = F.col(n).isNull()
+                else:
+                    gt = F.coalesce(F.col(n) > F.lit(v), F.lit(False))
+                    eq = F.coalesce(F.col(n) == F.lit(v), F.lit(False))
+                cond = gt | (eq & cond)
             keyed = keyed.filter(cond)
         return (
             keyed.groupBy(*[F.col(n) for n in names])
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-            .orderBy(*[F.col(n).asc() for n in names])
+            .orderBy(*[F.col(n).asc_nulls_first() for n in names])
             .limit(int(size))
         )
 

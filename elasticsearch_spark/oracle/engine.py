@@ -349,6 +349,41 @@ class OracleIndex:
         return out
 
     # ------------------------------------------------- match options (ES)
+    def match_score_all(self, query: str, method: str = "bm25",
+                        operator: str = "or",
+                        minimum_should_match: int | None = None,
+                        pretokenized_query: bool = False
+                        ) -> Dict[int, float]:
+        """doc_id → score for ES ``match`` with ``operator`` /
+        ``minimum_should_match`` — the kept-set core of
+        :meth:`match_query` (see its docstring for the threshold
+        spec), reused per field by ``multi_match_score_all``."""
+        terms = query.split() if pretokenized_query else preprocess_query(query)
+        if not terms:
+            return {}
+        distinct = set(terms)
+        if operator == "and" and any(self.df(t) == 0 for t in distinct):
+            return {}
+        live = {t for t in distinct
+                if self.df(t) > 0 and self.idf.get(t, 0.0) != 0.0}
+        n_zero_idf = sum(
+            1 for t in distinct if self.df(t) > 0 and self.idf.get(t, 0.0) == 0.0
+        )
+        if operator == "and":
+            required = len(live)
+        else:
+            required = (0 if minimum_should_match is None
+                        else int(minimum_should_match) - n_zero_idf)
+        required = max(required, 0)
+        doc_scores = self.score_all(query, method, pretokenized_query)
+        matched: Dict[int, int] = {}
+        for t in live:
+            for doc_id, _tf in self.postings.get(t, ()):
+                if self.doc_len.get(doc_id, 0) > 0:
+                    matched[doc_id] = matched.get(doc_id, 0) + 1
+        return {d: s for d, s in doc_scores.items()
+                if matched.get(d, 0) >= required}
+
     def match_query(self, query: str, k: int = 10, method: str = "bm25",
                     operator: str = "or",
                     minimum_should_match: int | None = None,
@@ -369,32 +404,10 @@ class OracleIndex:
           semantics) and counted as auto-matched — the required count
           is reduced by their number instead.
         """
-        terms = query.split() if pretokenized_query else preprocess_query(query)
-        empty = {"query": query, "total_hits": 0, "results": []}
-        if not terms:
-            return empty
-        distinct = set(terms)
-        if operator == "and" and any(self.df(t) == 0 for t in distinct):
-            return empty
-        live = {t for t in distinct
-                if self.df(t) > 0 and self.idf.get(t, 0.0) != 0.0}
-        n_zero_idf = sum(
-            1 for t in distinct if self.df(t) > 0 and self.idf.get(t, 0.0) == 0.0
+        kept = self.match_score_all(
+            query, method, operator, minimum_should_match,
+            pretokenized_query,
         )
-        if operator == "and":
-            required = len(live)
-        else:
-            required = (0 if minimum_should_match is None
-                        else int(minimum_should_match) - n_zero_idf)
-        required = max(required, 0)
-        doc_scores = self.score_all(query, method, pretokenized_query)
-        matched: Dict[int, int] = {}
-        for t in live:
-            for doc_id, _tf in self.postings.get(t, ()):
-                if self.doc_len.get(doc_id, 0) > 0:
-                    matched[doc_id] = matched.get(doc_id, 0) + 1
-        kept = {d: s for d, s in doc_scores.items()
-                if matched.get(d, 0) >= required}
         ranked = sorted(kept.items(), key=lambda x: (-x[1], x[0]))[:k]
         return {
             "query": query,
@@ -621,18 +634,27 @@ def multi_match_score_all(field_indexes: Dict[str, OracleIndex],
                           boosts: Dict[str, float], query: str,
                           match_type: str = "best_fields",
                           tie_breaker: float = 0.0, method: str = "bm25",
-                          pretokenized_query: bool = False
+                          pretokenized_query: bool = False,
+                          operator: str = "or",
+                          minimum_should_match: int | None = None
                           ) -> Dict[int, float]:
     """ES ``multi_match`` oracle over per-field OracleIndexes (the
     reference ES query shape, elasticsearch_indexer.py:122-149): each
     field scores the query with ITS OWN statistics × boost;
     ``best_fields`` combines per doc as best + tie_breaker × (rest),
-    ``most_fields`` sums."""
+    ``most_fields`` sums.  ``operator``/``minimum_should_match`` apply
+    to EACH per-field match (ES behavior for these types)."""
     per_field: Dict[int, List[float]] = {}
     for fname, boost in boosts.items():
-        scores = field_indexes[fname].score_all(
-            query, method, pretokenized_query
-        )
+        if operator != "or" or minimum_should_match is not None:
+            scores = field_indexes[fname].match_score_all(
+                query, method, operator, minimum_should_match,
+                pretokenized_query,
+            )
+        else:
+            scores = field_indexes[fname].score_all(
+                query, method, pretokenized_query
+            )
         for doc_id, s in scores.items():
             per_field.setdefault(doc_id, []).append(s * boost)
     out: Dict[int, float] = {}
@@ -651,13 +673,15 @@ def multi_match_query(field_indexes: Dict[str, OracleIndex],
                       boosts: Dict[str, float], query: str, k: int = 10,
                       match_type: str = "best_fields",
                       tie_breaker: float = 0.0, method: str = "bm25",
-                      pretokenized_query: bool = False) -> dict:
+                      pretokenized_query: bool = False,
+                      operator: str = "or",
+                      minimum_should_match: int | None = None) -> dict:
     """Reference result shape for multi_match, deterministic
     (score desc, doc_id asc) tie-break; total_hits counts docs matching
     in ANY queried field."""
     doc_scores = multi_match_score_all(
         field_indexes, boosts, query, match_type, tie_breaker, method,
-        pretokenized_query,
+        pretokenized_query, operator, minimum_should_match,
     )
     ranked = sorted(doc_scores.items(), key=lambda x: (-x[1], x[0]))[:k]
     return {

@@ -395,3 +395,21 @@ def test_hamming_default_cap_reports(spark):
     ).collect()
     assert len(out) == n - 1
     assert obs.get["capped_buckets"] >= 1
+
+
+def test_cap_observation_with_uncapped_run(spark):
+    """bucket_cap=None + cap_observation must report zeros after the
+    action instead of hanging forever (the observation previously never
+    attached on the uncapped branch)."""
+    from pyspark.sql import Observation
+
+    from elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(f"u{i}", [f"t{i}", "shared", "common"]) for i in range(8)],
+        "url string, tokens array<string>",
+    )
+    obs = Observation()
+    pairs = minhash_lsh_pairs(df, bucket_cap=None, cap_observation=obs)
+    pairs.count()
+    assert obs.get["capped_buckets"] == 0 and obs.get["capped_rows"] == 0

@@ -606,3 +606,29 @@ def test_multi_match_wand_rejects_bad_args(spark, mf_dir):
         mmw.topk("machine", tie_breaker=1.5)
     with pytest.raises(KeyError):
         mmw.topk("machine", fields=["nosuchfield"])
+
+
+def test_multi_match_operator_msm_best_most(mf_engine, oracles):
+    """ES honors operator/minimum_should_match on best_fields and
+    most_fields by applying them to EACH per-field match — previously
+    these knobs were silently ignored for those types."""
+    from elasticsearch_spark.oracle.engine import multi_match_query
+
+    cases = [
+        ("machine learning", "best_fields", "and", None),
+        ("machine learning studies", "most_fields", "or", 2),
+        ("machine nonexistentterm", "best_fields", "and", None),  # empty
+    ]
+    hit_any = False
+    for q, mt, op, msm in cases:
+        got = mf_engine.multi_match(
+            q, k=1000, fields=["title^2", "text"], match_type=mt,
+            operator=op, minimum_should_match=msm,
+        )
+        want = multi_match_query(
+            oracles, BOOSTS, q, k=1000, match_type=mt, operator=op,
+            minimum_should_match=msm,
+        )
+        _assert_same(got, want, (q, mt, op, msm))
+        hit_any = hit_any or bool(want["results"])
+    assert hit_any, "operator/msm multi_match suite never hit"

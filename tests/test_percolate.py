@@ -96,3 +96,10 @@ def test_percolate_streaming_microbatches(spark, tmp_index_root,
     q.awaitTermination(300)
     want = percolator.percolate(spark.read.parquet(src))
     assert {d: sorted(v) for d, v in got.items()} == want
+
+
+def test_percolate_string_ids(spark, percolator, rows):
+    """percolate() supports non-integer id columns (urls) end-to-end."""
+    df = spark.createDataFrame(rows, INPUT_SCHEMA).select("url", "text")
+    got = percolator.percolate(df, id_col="url")
+    assert got and all(isinstance(k, str) for k in got)

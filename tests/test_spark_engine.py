@@ -630,3 +630,49 @@ def test_distance_feature_semantics(spark, engine):
     assert abs(got[ids[1]] - base_s[ids[1]]) < 1e-12   # missing feature
     rf = engine.distance_feature_plan(feat, "ts", 800.0, 100.0)
     assert ids[1] not in {r["doc_id"] for r in rf.collect()}
+
+
+def test_composite_agg_null_keys_paginate(spark, engine):
+    """Null key components must not truncate composite pagination: a
+    dims column with nulls forms a null bucket that sorts FIRST and
+    pages through cleanly (null-safe lexicographic cursor)."""
+    base = engine.match_plan(["visit", "spark", "mail"])
+    ids = [r["doc_id"] for r in base.select("doc_id").collect()]
+    assert len(ids) >= 6
+    dims = spark.createDataFrame(
+        [(d, None if i % 3 == 0 else f"g{i % 2}") for i, d in enumerate(ids)],
+        "doc_id long, grp string",
+    )
+    sources = [("grp", "terms", "grp"), ("len8", "histogram", "doc_len", 8)]
+    full = engine.composite(["visit", "spark", "mail"], sources, dims,
+                            size=10_000)
+    assert full["buckets"][0]["key"]["grp"] is None  # nulls sort first
+    walked, after = [], None
+    while True:
+        page = engine.composite(["visit", "spark", "mail"], sources, dims,
+                                size=2, after=after)
+        walked.extend(page["buckets"])
+        if page["after_key"] is None:
+            break
+        after = page["after_key"]
+    assert walked == full["buckets"]
+
+
+def test_fetch_plan_keeps_hits_missing_from_source(spark, engine, corpus):
+    """A hit whose url is absent from the source table keeps its row
+    with null stored fields (fetch_source semantics) instead of being
+    dropped by the fetch join."""
+    res = engine.ranked("visit spark", k=5)
+    assert len(res["results"]) >= 2
+    topk = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in res["results"]],
+        "doc_id long, score double",
+    )
+    urls = set(engine.doc_urls([r["doc_id"] for r in res["results"]]).values())
+    drop = sorted(urls)[0]
+    src = corpus.filter(F.col("url") != drop).select("url", "lang")
+    rows = engine.fetch_plan(topk, src, ["lang"]).collect()
+    assert len(rows) == len(res["results"])
+    by_url = {r["url"]: r["lang"] for r in rows}
+    assert by_url[drop] is None
+    assert all(v is not None for u, v in by_url.items() if u != drop)
