@@ -88,6 +88,9 @@ HEADLINE = [
     "langid_heuristic",
     "doc_fingerprint",
     "events_hourly",
+    # round 5: reverse search over the full documents table (index-free
+    # one-pass percolation — the saved-search-alerting shape)
+    "engine_percolate",
 ]
 
 
